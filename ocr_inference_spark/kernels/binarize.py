@@ -1,0 +1,58 @@
+"""Binarization kernels.
+
+Re-expresses the reference's ``binarize`` (adaptive Gaussian threshold,
+block 51, C 13, or global 120 — reference: BDRC/utils.py:796-815) with a
+pure-NumPy adaptive *mean* threshold built on an integral image (an
+O(HW) box filter — public-standard technique), since the container has
+no OpenCV. Ink is dark-on-light; output is {0,1} uint8 with 1 = ink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """(H,W,3) RGB uint8 -> (H,W) uint8 luma; grayscale passes through."""
+    if img.ndim == 2:
+        return img
+    # ITU-R BT.601 luma, integer arithmetic for determinism
+    r = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    b = img[..., 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def box_mean(gray: np.ndarray, block: int) -> np.ndarray:
+    """Mean over a (block x block) window, edge-clamped, via integral image."""
+    h, w = gray.shape
+    r = block // 2
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(gray, axis=0, dtype=np.int64), axis=1, out=integ[1:, 1:])
+    ys = np.arange(h)
+    xs = np.arange(w)
+    y0 = np.clip(ys - r, 0, h)[:, None]
+    y1 = np.clip(ys + r + 1, 0, h)[:, None]
+    x0 = np.clip(xs - r, 0, w)[None, :]
+    x1 = np.clip(xs + r + 1, 0, w)[None, :]
+    area = (y1 - y0) * (x1 - x0)
+    total = integ[y1, x1] - integ[y0, x1] - integ[y1, x0] + integ[y0, x0]
+    return total / area
+
+
+def binarize(
+    gray: np.ndarray, adaptive: bool = True, block: int = 51, c: int = 13
+) -> np.ndarray:
+    """Dark-ink binarization -> uint8 {0,1}, 1 = ink.
+
+    adaptive=True: pixel is ink iff value < local_mean - c (the
+    adaptive-threshold semantics of the reference, block/C defaults
+    matching BDRC/utils.py:802-808). adaptive=False: global threshold
+    120 (reference: BDRC/utils.py:810-813).
+    """
+    if gray.ndim != 2:
+        gray = to_gray(gray)
+    if adaptive:
+        thresh = box_mean(gray, block) - c
+        return (gray < thresh).astype(np.uint8)
+    return (gray < 120).astype(np.uint8)

@@ -1,0 +1,152 @@
+"""Connected-component analysis on binary masks.
+
+The reference uses ``cv2.findContours(RETR_LIST, CHAIN_APPROX_SIMPLE)``
+(reference: BDRC/line_detection.py:33-44). Without OpenCV we use the
+classic run-length two-pass labeling with union-find: extract horizontal
+ink runs per row (vectorized), union runs that touch between adjacent
+rows (8-connectivity). Components carry their runs, so bbox / area /
+center / per-column top-edge profiles all derive without re-scanning
+pixels.
+
+Component discovery order is normalized to bottom-to-top (descending
+bbox y) to mirror OpenCV's contour enumeration order, which the
+reference's reading-order sort implicitly depends on
+(BDRC/line_detection.py:424-486 groups in discovery order and reverses
+at the end).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Component:
+    """One connected component: runs are (row, x0, x1_exclusive)."""
+
+    runs: list
+    x: int
+    y: int
+    w: int
+    h: int
+    area: int
+
+    @property
+    def bbox(self) -> tuple[int, int, int, int]:
+        return (self.x, self.y, self.w, self.h)
+
+    @property
+    def center(self) -> tuple[int, int]:
+        # bbox-center with floor division, matching build_line_data
+        # (reference: BDRC/line_detection.py:188-209)
+        return (self.x + self.w // 2, self.y + self.h // 2)
+
+    def top_profile(self) -> np.ndarray:
+        """For each column in [x, x+w): smallest row holding ink (int32);
+        columns with no ink hold -1."""
+        top = np.full(self.w, np.iinfo(np.int32).max, dtype=np.int64)
+        for row, x0, x1 in self.runs:
+            seg = top[x0 - self.x : x1 - self.x]
+            np.minimum(seg, row, out=seg)
+        top[top == np.iinfo(np.int32).max] = -1
+        return top.astype(np.int32)
+
+    def column_ys(self, x_abs: int) -> np.ndarray:
+        """All ink rows of this component at absolute column ``x_abs``."""
+        return np.array(
+            sorted(row for row, x0, x1 in self.runs if x0 <= x_abs < x1),
+            dtype=np.int32,
+        )
+
+
+def _row_runs(row: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Binary row -> (starts, ends) of ink runs, ends exclusive."""
+    padded = np.empty(row.shape[0] + 2, dtype=np.int8)
+    padded[0] = padded[-1] = 0
+    padded[1:-1] = row
+    d = np.diff(padded)
+    return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+
+
+def connected_components(mask: np.ndarray) -> list[Component]:
+    """Label a {0,1} mask; returns components sorted bottom-to-top."""
+    h, _w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_runs: list[tuple[int, int, int, int]] = []  # (row, x0, x1, label)
+    prev: list[tuple[int, int, int]] = []  # (x0, x1, label) of previous row
+    for y in range(h):
+        starts, ends = _row_runs(mask[y])
+        cur: list[tuple[int, int, int]] = []
+        pi = 0
+        for x0, x1 in zip(starts.tolist(), ends.tolist()):
+            label = -1
+            while pi < len(prev) and prev[pi][1] < x0:  # prev entirely left (8-conn allows touch)
+                pi += 1
+            pj = pi
+            while pj < len(prev) and prev[pj][0] <= x1:
+                # 8-connectivity: [x0,x1) touches [px0,px1) incl. diagonal
+                if label == -1:
+                    label = prev[pj][2]
+                else:
+                    union(label, prev[pj][2])
+                pj += 1
+            if label == -1:
+                label = len(parent)
+                parent.append(label)
+            cur.append((x0, x1, label))
+            all_runs.append((y, x0, x1, label))
+        prev = cur
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    for y, x0, x1, label in all_runs:
+        groups.setdefault(find(label), []).append((y, x0, x1))
+
+    comps: list[Component] = []
+    for runs in groups.values():
+        ys = [r[0] for r in runs]
+        xmin = min(r[1] for r in runs)
+        xmax = max(r[2] for r in runs)
+        ymin, ymax = min(ys), max(ys)
+        area = sum(r[2] - r[1] for r in runs)
+        comps.append(
+            Component(
+                runs=runs,
+                x=int(xmin),
+                y=int(ymin),
+                w=int(xmax - xmin),
+                h=int(ymax - ymin + 1),
+                area=int(area),
+            )
+        )
+    # bottom-to-top, then left-to-right — OpenCV-like discovery order
+    comps.sort(key=lambda c: (-c.y, c.x))
+    return comps
+
+
+def filter_area(comps: list[Component], min_area: float) -> list[Component]:
+    """Area filter (reference: BDRC/line_detection.py:124-125,233)."""
+    return [c for c in comps if c.area > min_area]
+
+
+def filter_line_contours(
+    comps: list[Component], image_width: int, min_h: int = 10
+) -> list[Component]:
+    """Keep components with w > 1% image width and h > min_h
+    (reference: filter_line_contours, BDRC/line_detection.py:247-264)."""
+    return [c for c in comps if c.w > image_width * 0.01 and c.h > min_h]

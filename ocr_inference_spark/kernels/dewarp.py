@@ -1,0 +1,152 @@
+"""Baseline dewarping: distortion detection + polynomial rectification.
+
+Mirrors the reference's TPS stage semantics (BDRC/image_dewarping.py):
+
+- ``check_line_distortion`` ~ ``check_line_tps`` (:118-193): sample the
+  line's vertical position at 5 x-slices (x in {0, w/4, w/2, 3w/4,
+  w-sw}); the line is distorted iff max Δy between slice centers exceeds
+  the mean line height.
+- ``distortion_ratio`` ~ ``check_for_tps`` (:196-227): fraction of lines
+  flagged distorted; the pipeline gates rectification on
+  ratio > tps_threshold = 0.25 (BDRC/inference.py:549-567).
+- ``best_global_line`` ~ ``get_global_tps_line`` (:230-264): the line
+  whose Δy is closest to the mean Δy drives the global correction.
+- ``apply_global_rectification`` ~ ``apply_global_tps`` (:267-289): we
+  fit a polynomial through the chosen line's per-column baseline (the
+  "polynomial baseline fit" of the target spec) and shift every column
+  vertically to flatten it — a thin-plate-style warp restricted to the
+  vertical axis, which is exactly the distortion family page curl
+  produces. Fully vectorized (one fancy-index gather).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .components import Component
+
+TPS_THRESHOLD = 0.25  # reference: BDRC/inference.py:558
+SLICE_FRACTIONS = (0.0, 0.25, 0.5, 0.75, 1.0)  # reference: image_dewarping.py:137-147
+
+
+def line_slice_stats(comp: Component, slice_width: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """(centers, heights) of the component at 5 x-slices (NaN if empty).
+
+    Heights are *local* slice heights (the vertical extent of ink inside
+    the slice), matching ``get_global_center``
+    (BDRC/image_dewarping.py:77-115) — a warped band's local height stays
+    ~one line tall even though its bbox inflates.
+    """
+    centers = np.full(len(SLICE_FRACTIONS), np.nan)
+    heights = np.full(len(SLICE_FRACTIONS), np.nan)
+    for i, frac in enumerate(SLICE_FRACTIONS):
+        x_start = comp.x + int(frac * max(comp.w - slice_width, 0))
+        lo = hi = None
+        for row, x0, x1 in comp.runs:
+            if x0 < x_start + slice_width and x1 > x_start:
+                lo = row if lo is None else min(lo, row)
+                hi = row if hi is None else max(hi, row)
+        if lo is not None:
+            centers[i] = (lo + hi) / 2.0
+            heights[i] = hi - lo + 1
+    return centers, heights
+
+
+def check_line_distortion(comp: Component) -> tuple[bool, float]:
+    """(distorted?, max Δy of slice centers). Distorted iff the center
+    spread exceeds the mean local slice height
+    (reference: check_line_tps, BDRC/image_dewarping.py:118-193)."""
+    centers, heights = line_slice_stats(comp)
+    valid = centers[~np.isnan(centers)]
+    if valid.size < 2:
+        return False, 0.0
+    dy = float(valid.max() - valid.min())
+    mean_h = float(np.nanmean(heights))
+    return dy > mean_h, dy
+
+
+def distortion_ratio(comps: list[Component]) -> tuple[float, list[float]]:
+    """Fraction of distorted lines + per-line Δy values
+    (reference: check_for_tps, BDRC/image_dewarping.py:196-227)."""
+    if not comps:
+        return 0.0, []
+    flags, dys = [], []
+    for c in comps:
+        flag, dy = check_line_distortion(c)
+        flags.append(flag)
+        dys.append(dy)
+    return float(np.mean(flags)), dys
+
+
+def best_global_line(comps: list[Component], dys: list[float]) -> Component:
+    """Line whose Δy is closest to the mean Δy
+    (reference: get_global_tps_line, BDRC/image_dewarping.py:230-264)."""
+    mean_dy = float(np.mean(dys))
+    idx = int(np.argmin([abs(mean_dy - d) for d in dys]))
+    return comps[idx]
+
+
+def fit_page_shift(
+    comps: list[Component], width: int, degree: int = 9
+) -> np.ndarray:
+    """Per-column integer vertical shift flattening the page's shared warp.
+
+    Joint least squares: model top_i(x) = c_i + poly(x) with one shared
+    polynomial (the page warp) and a free intercept per line. Using every
+    line's baseline keeps the fit interpolating across the full page
+    width — the stabilizing role the reference's corner-anchor control
+    points play in ``apply_global_tps`` (BDRC/image_dewarping.py:267-289)
+    — where a single-line fit would extrapolate wildly beyond that
+    line's x-range.
+    """
+    xs_all: list[np.ndarray] = []
+    ys_all: list[np.ndarray] = []
+    line_idx: list[np.ndarray] = []
+    for i, comp in enumerate(comps):
+        top = comp.top_profile().astype(np.float64)
+        valid = top >= 0
+        if valid.sum() < 2:
+            continue
+        xs = (np.flatnonzero(valid) + comp.x).astype(np.float64)
+        xs_all.append(xs)
+        ys_all.append(top[valid])
+        line_idx.append(np.full(xs.shape, i, dtype=np.int64))
+    if not xs_all:
+        return np.zeros(width, dtype=np.int64)
+    x = np.concatenate(xs_all) / max(width - 1, 1)  # scale for conditioning
+    y = np.concatenate(ys_all)
+    li = np.concatenate(line_idx)
+    n_lines = len(comps)
+    deg = int(min(degree, max(1, x.size // 8)))
+    # design: per-line intercept columns + x^1..x^deg (constant absorbed)
+    A = np.zeros((x.size, n_lines + deg))
+    A[np.arange(x.size), li] = 1.0
+    for d in range(1, deg + 1):
+        A[:, n_lines + d - 1] = x**d
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    poly = coef[n_lines:]
+    grid = np.arange(width, dtype=np.float64) / max(width - 1, 1)
+    fitted = sum(poly[d - 1] * grid**d for d in range(1, deg + 1))
+    return np.rint(fitted - np.median(fitted)).astype(np.int64)
+
+
+def apply_column_shift(img: np.ndarray, shift: np.ndarray, fill: int = 0) -> np.ndarray:
+    """Shift column x up by shift[x] pixels (vectorized gather)."""
+    h, w = img.shape[:2]
+    ys = np.arange(h)[:, None] + shift[None, :]
+    inside = (ys >= 0) & (ys < h)
+    ys_c = np.clip(ys, 0, h - 1)
+    out = img[ys_c, np.arange(w)[None, :]]
+    out = np.where(inside, out, fill).astype(img.dtype)
+    return out
+
+
+def rectify_page(
+    ink: np.ndarray, comps: list[Component]
+) -> tuple[np.ndarray, bool, float]:
+    """Gate + global rectification. Returns (ink', applied, ratio)."""
+    ratio, dys = distortion_ratio(comps)
+    if ratio <= TPS_THRESHOLD or not comps:
+        return ink, False, ratio
+    shift = fit_page_shift(comps, ink.shape[1])
+    return apply_column_shift(ink, shift), True, ratio

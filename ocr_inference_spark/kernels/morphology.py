@@ -1,0 +1,50 @@
+"""Binary morphology: the deterministic "line segmentation model".
+
+The reference obtains a per-line mask from an ONNX semantic-segmentation
+network (sigmoid > 0.9 — reference: BDRC/inference.py:170-183). Our
+engine's stand-in produces the same *shape* of output — a solid band per
+text line — by closing the ink bitmap morphologically: horizontal
+dilation bridges inter-character gaps, vertical dilation bridges the
+strut-to-glyph gap. Like the reference's network, the output is a
+binary mask consumed by connected-component analysis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def dilate_h(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Horizontal binary dilation by ``radius`` (window 2r+1), via shift-OR."""
+    if radius <= 0:
+        return mask
+    out = mask.copy()
+    for s in range(1, radius + 1):
+        out[:, s:] |= mask[:, :-s]
+        out[:, :-s] |= mask[:, s:]
+    return out
+
+
+def dilate_v(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Vertical binary dilation by ``radius`` (window 2r+1), via shift-OR."""
+    if radius <= 0:
+        return mask
+    out = mask.copy()
+    for s in range(1, radius + 1):
+        out[s:, :] |= mask[:-s, :]
+        out[:-s, :] |= mask[s:, :]
+    return out
+
+
+def line_segmentation_mask(
+    ink: np.ndarray, h_radius: int = 8, v_radius: int = 5
+) -> np.ndarray:
+    """Ink bitmap {0,1} -> line mask {0,1}: one solid component per text line.
+
+    Defaults bridge the fixture geometry (GLYPH_GAP=4 between characters,
+    4 blank rows between strut and glyph strip) with margin to spare;
+    real deployments would swap in an ONNX session here (the pipeline
+    treats this function as the stage-1 model forward, cf.
+    BDRC/inference.py:488-506).
+    """
+    return dilate_v(dilate_h(ink, h_radius), v_radius)

@@ -1,0 +1,111 @@
+"""The fused per-page kernel: encoded page bytes -> ordered line texts.
+
+This is the engine's per-partition kernel contract (SURVEY.md EP2):
+``(page_bytes, weights) -> (texts, confs, angle, dewarp_applied,
+status)`` — pure, no I/O, no wall clock. The Spark pipeline
+(pipeline.py) calls it from a single ``mapInPandas`` so stages 1-5 run
+fused per Arrow batch (one Python worker round trip, not five —
+SURVEY.md §4 "operator fusion").
+
+Stage order mirrors the reference pipeline (BDRC/pipeline.py:30-195):
+  1. line detection (binarize -> segmentation mask -> components)
+  2. deskew (angle estimate, rotate when |angle| > 0.5°)
+  3. dewarp (distortion gate at ratio > 0.25, polynomial baseline fit)
+  4. reading-order sort + line extraction
+  5. CTC text recognition
+Every stage carries an (OpStatus, payload) error channel like the
+reference (BDRC/pipeline.py:83-85) — a failed page yields status !=
+'success' instead of failing the task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .glyphs import decode_ids
+from .imgcodec import png_decode
+from .kernels.binarize import binarize, to_gray
+from .kernels.components import (
+    connected_components,
+    filter_area,
+    filter_line_contours,
+)
+from .kernels.ctc import ctc_confidence, greedy_decode
+from .kernels.deskew import ROTATE_THRESHOLD, estimate_page_angle, shear_correct
+from .kernels.dewarp import rectify_page
+from .kernels.linecrop import extract_line_images
+from .kernels.morphology import line_segmentation_mask
+from .kernels.reading_order import sort_lines_by_threshold
+from .model import RecognitionSession
+
+
+@dataclass
+class PageResult:
+    """Per-page output (cf. OCResult, BDRC/data.py:228-236)."""
+
+    texts: list[str] = field(default_factory=list)
+    confs: list[float] = field(default_factory=list)
+    angle: float = 0.0
+    dewarp_applied: bool = False
+    distortion_ratio: float = 0.0
+    n_lines: int = 0
+    status: str = "success"
+    error: str = ""
+
+
+def _detect(ink: np.ndarray):
+    mask = line_segmentation_mask(ink)
+    comps = connected_components(mask)
+    comps = filter_area(comps, mask.shape[0] * mask.shape[1] * 0.001)
+    return mask, comps
+
+
+def process_page(content: bytes, session: RecognitionSession) -> PageResult:
+    try:
+        gray = to_gray(png_decode(content))
+    except Exception as exc:  # malformed media payload -> failed row
+        return PageResult(status="decode_failed", error=str(exc)[:200])
+    try:
+        ink = binarize(gray)
+        # stage 1: detection
+        mask, comps = _detect(ink)
+
+        # stage 2: deskew (reference: BDRC/line_detection.py:212-244)
+        angle = estimate_page_angle(comps, mask.shape)
+        if abs(angle) > ROTATE_THRESHOLD:
+            ink = shear_correct(ink, angle, fill=0)
+            mask, comps = _detect(ink)
+
+        # stage 3: dewarp (reference: BDRC/inference.py:535-589)
+        line_comps = filter_line_contours(comps, ink.shape[1])
+        ink2, applied, ratio = rectify_page(ink, line_comps)
+        if applied:
+            ink = ink2
+            mask, comps = _detect(ink)
+            line_comps = filter_line_contours(comps, ink.shape[1])
+
+        # stage 4: reading order + extraction
+        ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
+        line_imgs = extract_line_images(ink, ordered)
+
+        # stage 5: recognition
+        logits_list = session.forward_batch(line_imgs)
+        texts: list[str] = []
+        confs: list[float] = []
+        for logits in logits_list:
+            ids, score = greedy_decode(logits)
+            text = decode_ids(ids)
+            texts.append(text)
+            confs.append(ctc_confidence(score, len(text)))
+        return PageResult(
+            texts=texts,
+            confs=confs,
+            angle=float(angle),
+            dewarp_applied=bool(applied),
+            distortion_ratio=float(ratio),
+            n_lines=len(texts),
+        )
+    except Exception as exc:
+        return PageResult(status="failed", error=str(exc)[:200])

@@ -1,0 +1,92 @@
+"""Deterministic fixture page renderer.
+
+Renders known text lines into synthetic page images so the expected
+span sequence is exact ground truth (FIXTURES.md §2): each line is a
+band with a solid strut rule on top and a glyph strip encoding the
+characters (glyphs.py). Optional seeded skew (< 5°, within the
+reference's acceptance window, BDRC/line_detection.py:110) and a
+vertical sine warp (exercises the dewarp gate,
+BDRC/image_dewarping.py:196-227).
+
+The renderer intentionally applies the *forward* distortions the
+pipeline must undo — rotation and per-column vertical shift — using the
+same resampling primitives (kernels/deskew.py, kernels/dewarp.py), so
+fixture equality tests the inverse kernels end to end.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .glyphs import (
+    BAND_H,
+    GLYPH_GAP,
+    GLYPH_H,
+    GLYPH_TOP,
+    GLYPH_W,
+    STRUT_H,
+    TEMPLATES,
+    encode_text,
+    line_pixel_width,
+)
+from .kernels.dewarp import apply_column_shift
+
+INK = 25
+PAPER = 235
+
+
+def render_line_band(text: str) -> np.ndarray:
+    """Text -> (BAND_H, width) ink bitmap {0,1}."""
+    ids = encode_text(text)
+    width = line_pixel_width(len(ids))
+    band = np.zeros((BAND_H, width), dtype=np.uint8)
+    band[:STRUT_H, :] = 1  # the strut rule: full-width, keeps the band connected
+    for i, cid in enumerate(ids):
+        x0 = i * (GLYPH_W + GLYPH_GAP)
+        col = TEMPLATES[cid].astype(np.uint8)  # (GLYPH_H,)
+        band[GLYPH_TOP : GLYPH_TOP + GLYPH_H, x0 : x0 + GLYPH_W] = col[:, None]
+    return band
+
+
+def render_page(
+    lines: list[str],
+    margin: int = 48,
+    spacing: int = 56,
+    skew_deg: float = 0.0,
+    warp_amp: int = 0,
+    warp_period: int | None = None,
+) -> np.ndarray:
+    """Known text lines -> uint8 grayscale page image (dark ink on paper).
+
+    Skew is applied as integer vertical shear (the small-angle model of
+    page tilt — see kernels/deskew.py:shear_correct) and warp as a
+    vertical sine shift: both are per-column displacements, the
+    distortion family the pipeline's deskew + baseline-dewarp stages
+    invert.
+    """
+    bands = [render_line_band(t) for t in lines]
+    content_w = max((b.shape[1] for b in bands), default=64)
+    width = content_w + 2 * margin
+    xs = np.arange(width, dtype=np.float64)
+    shift_down = np.zeros(width, dtype=np.float64)
+    if warp_amp:
+        period = warp_period or width
+        shift_down += warp_amp * np.sin(2.0 * math.pi * xs / period)
+    if skew_deg:
+        cx = (width - 1) / 2.0
+        shift_down += (xs - cx) * math.tan(math.radians(skew_deg))
+    s = np.rint(shift_down).astype(np.int64)
+    pad = int(max(-s.min(), s.max(), 0)) + 1
+    height = 2 * (margin + pad) + len(bands) * BAND_H + max(len(bands) - 1, 0) * spacing
+    ink = np.zeros((height, width), dtype=np.uint8)
+    y = margin + pad
+    for band in bands:
+        ink[y : y + BAND_H, margin : margin + band.shape[1]] = band
+        y += BAND_H + spacing
+    if s.any():
+        # shift DOWN by s(x): apply_column_shift moves columns up by
+        # +shift, so pass the negated values
+        ink = apply_column_shift(ink, -s, fill=0)
+    return np.where(ink > 0, np.uint8(INK), np.uint8(PAPER))
