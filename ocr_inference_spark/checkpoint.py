@@ -1,0 +1,108 @@
+"""Resumable runs: per-partition lineage + metrics table.
+
+Mirrors the reference's job-directory + audit-log practice
+(ArtifactManager job dirs, BDRC/artifact_manager.py:23-45; AuditLogger
+stage records, BDRC/audit_logger.py:46-58) with a relational design:
+
+- work is bucketed by ``pmod(xxhash64(media_ref), n_buckets)`` — a
+  deterministic function of the data, so a rerun derives the same
+  buckets;
+- each completed bucket appends one metrics row (job_id, bucket, docs,
+  pages, lines, chars, status, stage, duration_ms, ts);
+- the output is written ``partitionBy(bucket)`` with dynamic partition
+  overwrite, so re-processing a bucket is idempotent;
+- resume = anti-join the input's buckets against completed metrics rows
+  (SURVEY.md §2.10) — only unfinished buckets are read, decoded, OCRed.
+
+At 10^12 documents the metrics table is tiny (n_buckets rows per job),
+always broadcast-joinable.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import media_spans, reassemble_spans, recognize_pages
+from .schemas import METRICS_SCHEMA
+
+
+def bucket_of(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, metrics_path: str, job_id: str) -> DataFrame:
+    """Buckets already recorded successful for this job (empty if none)."""
+    try:
+        m = spark.read.schema(METRICS_SCHEMA).parquet(metrics_path)
+    except Exception:
+        return spark.createDataFrame([], "bucket int")
+    return (
+        m.where((F.col("job_id") == job_id) & (F.col("status") == "success"))
+        .select("bucket")
+        .distinct()
+    )
+
+
+def run_resumable(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    pages_df: DataFrame,
+    output_path: str,
+    metrics_path: str,
+    job_id: str,
+    n_buckets: int = 32,
+) -> None:
+    """Process only unfinished buckets; append metrics; idempotent output.
+
+    Output layout: ``output_path`` partitioned by bucket(doc_id)'s pages
+    — each row is one document's ordered span sequence for documents
+    whose media fall in the processed buckets. Documents are assigned
+    to the bucket of their *first* media span (doc granularity for the
+    sink; page granularity for compute).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.monotonic()
+
+    media = media_spans(docs_df).withColumn("bucket", bucket_of(F.col("media_ref"), n_buckets))
+    done = completed_buckets(spark, metrics_path, job_id)
+    # prune finished work before any page bytes are read (broadcast anti-join)
+    todo_media = media.join(F.broadcast(done), "bucket", "left_anti")
+
+    # docs whose media are all in finished buckets need no recompute;
+    # text-only documents (no media at all) are always (re-)emitted —
+    # they cost no page decode and keep the rule simple and idempotent
+    has_media = media.select("doc_id").distinct()
+    text_only_docs = docs_df.join(has_media, "doc_id", "left_anti")
+    todo_docs = docs_df.join(
+        todo_media.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).unionByName(text_only_docs)
+
+    ocr = recognize_pages(spark, todo_docs, pages_df)
+    ocr = ocr.withColumn("bucket", bucket_of(F.col("media_ref"), n_buckets))
+    ocr.cache()
+
+    out = reassemble_spans(todo_docs, ocr.drop("bucket"))
+    out_bucketed = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    out_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+
+    duration_ms = (time.monotonic() - t0) * 1000.0
+    metrics = (
+        ocr.groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.countDistinct("media_ref").alias("pages"),
+            F.sum(F.when(F.col("line_rank") >= 0, 1).otherwise(0)).alias("lines"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
+        )
+        .withColumn("job_id", F.lit(job_id))
+        .withColumn("status", F.lit("success"))
+        .withColumn("stage", F.lit("ocr+reassemble"))
+        .withColumn("duration_ms", F.lit(duration_ms))
+        .withColumn("ts", F.current_timestamp())
+        .select([f.name for f in METRICS_SCHEMA.fields])
+    )
+    metrics.write.mode("append").parquet(metrics_path)
+    ocr.unpersist()

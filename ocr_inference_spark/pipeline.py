@@ -1,0 +1,187 @@
+"""The Spark job: interleaved spans table -> ordered span sequences.
+
+Plan shape (SURVEY.md EP1 "Spark shape"):
+
+    documents ──explode──> media spans ──join(media_ref)──> +page bytes
+        │                                    │ repartition(media_ref)   (page-granular:
+        │                                    ▼                           breaks multi-page
+        │                        mapInPandas(page kernel)                "pecha" skew)
+        │                                    │ per-line rows
+        └──explode──> original spans ──unionByName──┘
+                                             │ groupBy(doc_id)
+                                  array_sort + transform (renumber)
+                                             ▼
+                              output (doc_id, spans) + metrics
+
+Everything relational is native Catalyst (filter/explode/join/groupBy —
+whole-stage codegen); the only Python is the fused page kernel, Arrow-
+batched, with broadcast model weights materialized once per executor
+(page.py, model.py).
+
+Scale notes (100 TB / 10^12 docs):
+- the media explode + ``kind='media'`` filter runs *before* the page
+  join, so only media spans shuffle;
+- partitioning is by ``media_ref`` (page granularity) — a 784-page
+  pecha spreads over 784 partitions instead of hot-spotting one
+  (SURVEY.md §4 "skew handling");
+- reassembly shuffles once on doc_id; span structs are small (text
+  only — image bytes never pass this boundary);
+- AQE coalesces post-shuffle partitions; no collect() anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import get_session, serialize_weights
+from .page import process_page
+from .schemas import DOCUMENTS_SCHEMA, OCR_LINES_SCHEMA
+
+
+def media_spans(docs_df: DataFrame) -> DataFrame:
+    """documents -> one row per media span (doc_id, offset, media_ref)."""
+    return (
+        docs_df.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == F.lit("media"))
+        .where(F.col("s.media_ref").isNotNull())
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("media_offset"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def _make_ocr_kernel(weight_bc):
+    """Build the mapInPandas kernel closing over broadcast weights."""
+
+    def ocr_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        session = get_session(weight_bc.value)  # executor-global, warm
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in OCR_LINES_SCHEMA.fields}
+            for doc_id, media_offset, media_ref, content in zip(
+                pdf["doc_id"], pdf["media_offset"], pdf["media_ref"], pdf["content"]
+            ):
+                res = process_page(bytes(content), session)
+                if res.status == "success" and res.texts:
+                    for rank, (text, conf) in enumerate(zip(res.texts, res.confs)):
+                        out["doc_id"].append(doc_id)
+                        out["media_offset"].append(media_offset)
+                        out["media_ref"].append(media_ref)
+                        out["line_rank"].append(rank)
+                        out["text"].append(text)
+                        out["ctc_conf"].append(conf)
+                        out["page_angle"].append(res.angle)
+                        out["dewarp_applied"].append(res.dewarp_applied)
+                        out["n_lines"].append(res.n_lines)
+                        out["status"].append(res.status)
+                else:
+                    # keep one row per failed/empty page for lineage metrics
+                    out["doc_id"].append(doc_id)
+                    out["media_offset"].append(media_offset)
+                    out["media_ref"].append(media_ref)
+                    out["line_rank"].append(-1)
+                    out["text"].append(None)
+                    out["ctc_conf"].append(None)
+                    out["page_angle"].append(res.angle)
+                    out["dewarp_applied"].append(res.dewarp_applied)
+                    out["n_lines"].append(0)
+                    out["status"].append(res.status if res.status != "success" else "empty")
+            yield pd.DataFrame(out)
+
+    return ocr_kernel
+
+
+def recognize_pages(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    pages_df: DataFrame,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Media spans -> per-line OCR rows (OCR_LINES_SCHEMA)."""
+    weight_bc = spark.sparkContext.broadcast(serialize_weights())
+    media = media_spans(docs_df)
+    joined = media.join(pages_df.select("media_ref", "content"), "media_ref")
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # page-granular distribution: one hot document cannot skew a partition
+    joined = joined.repartition(n_partitions, "media_ref")
+    return joined.mapInPandas(_make_ocr_kernel(weight_bc), schema=OCR_LINES_SCHEMA)
+
+
+def reassemble_spans(docs_df: DataFrame, ocr_df: DataFrame) -> DataFrame:
+    """Original spans + OCR line rows -> ordered output span sequences.
+
+    Sort key is (source offset, 0 for the original span / 1 for derived
+    lines, line rank): a media span is immediately followed by its
+    detected lines in reading order (FIXTURES.md §3); offsets are then
+    renumbered densely. Pure Catalyst: union + groupBy + array_sort +
+    transform — no Python.
+    """
+    originals = docs_df.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("src_offset"),
+        F.lit(0).alias("sub"),
+        F.lit(0).alias("rank"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    lines = ocr_df.where(
+        (F.col("status") == "success") & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.col("media_offset").alias("src_offset"),
+        F.lit(1).alias("sub"),
+        F.col("line_rank").alias("rank"),
+        F.lit("text").alias("kind"),
+        "text",
+        "media_ref",
+    )
+    unioned = originals.unionByName(lines)
+    collected = unioned.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("src_offset", "sub", "rank", "kind", "text", "media_ref"))
+        ).alias("ordered")
+    )
+    spans = F.transform(
+        "ordered",
+        lambda x, i: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    ).alias("spans")
+    return collected.select("doc_id", spans)
+
+
+def extract_spans(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    pages_df: DataFrame,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end: documents + pages -> output documents (same schema)."""
+    ocr = recognize_pages(spark, docs_df, pages_df, n_partitions)
+    out = reassemble_spans(docs_df, ocr)
+    # pin the declared output schema
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in DOCUMENTS_SCHEMA.fields
+    ]
+    return out
+
+
+def page_metrics(ocr_df: DataFrame) -> DataFrame:
+    """Per-page QA metrics (cf. job metrics, BDRC/pipeline.py:177-187)."""
+    return ocr_df.groupBy("doc_id", "media_ref").agg(
+        F.max("n_lines").alias("lines_detected"),
+        F.sum(F.length("text")).alias("chars"),
+        F.max("page_angle").alias("rotation_angle"),
+        F.max("dewarp_applied").alias("dewarping_applied"),
+        F.min("status").alias("status"),
+    )

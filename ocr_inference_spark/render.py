@@ -78,7 +78,7 @@ def render_page(
         cx = (width - 1) / 2.0
         shift_down += (xs - cx) * math.tan(math.radians(skew_deg))
     s = np.rint(shift_down).astype(np.int64)
-    pad = int(max(-s.min(), s.max(), 0)) + 1
+    pad = int(max(-s.min(), s.max(), 0)) + 1 if s.any() else 0
     height = 2 * (margin + pad) + len(bands) * BAND_H + max(len(bands) - 1, 0) * spacing
     ink = np.zeros((height, width), dtype=np.uint8)
     y = margin + pad

@@ -1,0 +1,43 @@
+"""SparkSession factory with the engine's scale-aware defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Pages are fat rows (one encoded image per row): keep Arrow batches
+# small so a mapInPandas batch bounds executor memory (SURVEY.md §4
+# "vectorized execution" — the reference batches 8-12 pages per
+# DataLoader step, infer_lines_cli.py:58-62).
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(
+    app_name: str = "ocr_inference_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")]
+        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

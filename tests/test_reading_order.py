@@ -1,0 +1,59 @@
+import numpy as np
+
+from ocr_inference_spark.kernels.binarize import binarize
+from ocr_inference_spark.kernels.components import (
+    connected_components,
+    filter_line_contours,
+)
+from ocr_inference_spark.kernels.morphology import line_segmentation_mask
+from ocr_inference_spark.kernels.reading_order import (
+    merge_row,
+    sort_bbox_centers,
+    sort_lines_by_threshold,
+)
+from ocr_inference_spark.render import render_page
+
+
+def test_sort_bbox_centers_groups_and_reverses():
+    # discovery order bottom-to-top (y desc), as connected_components emits
+    centers = [(10, 100), (50, 102), (10, 50), (60, 48), (5, 10)]
+    rows = sort_bbox_centers(centers, line_threshold=20)
+    # reversed -> top row first
+    assert rows == [[(5, 10)], [(10, 50), (60, 48)], [(10, 100), (50, 102)]]
+
+
+def test_sort_bbox_centers_x_sorted_within_row():
+    centers = [(90, 10), (10, 12), (50, 11)]
+    rows = sort_bbox_centers(centers, line_threshold=20)
+    assert rows == [[(10, 12), (50, 11), (90, 10)]]
+
+
+def test_sort_bbox_centers_empty():
+    assert sort_bbox_centers([], 20) == []
+
+
+def test_running_mean_splits_on_gap():
+    centers = [(0, 0), (0, 5), (0, 100)]
+    rows = sort_bbox_centers(centers, line_threshold=30)
+    assert len(rows) == 2
+
+
+def test_full_page_reading_order():
+    lines = ["top line", "middle line", "bottom line"]
+    ink = binarize(render_page(lines))
+    mask = line_segmentation_mask(ink)
+    comps = filter_line_contours(connected_components(mask), ink.shape[1])
+    ordered, thr = sort_lines_by_threshold(comps, mask.shape)
+    assert len(ordered) == 3
+    ys = [c.y for c in ordered]
+    assert ys == sorted(ys)  # top-to-bottom
+    assert thr > 0
+
+
+def test_merge_row_unions():
+    ink = binarize(render_page(["ab ab"]))
+    mask = line_segmentation_mask(ink)
+    comps = connected_components(mask)
+    merged = merge_row(comps)
+    assert merged.area == sum(c.area for c in comps)
+    assert merged.w >= max(c.w for c in comps)
