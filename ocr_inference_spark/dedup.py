@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines — all pure
+DataFrame compositions (no Python UDFs), shuffle-conscious:
+
+- exact:        hash-groupBy on normalized text (one shuffle)
+- n-gram Jaccard: shingle explode -> self-equi-join on shingle ->
+                  count/union arithmetic (shuffles on shingle, then pair)
+- MinHash+LSH:  shingle -> per-permutation min-hash -> band buckets ->
+                bucket join for candidates -> exact-Jaccard verify.
+                At 100 TB the LSH path is the scale path: candidate
+                generation touches only same-bucket pairs instead of the
+                O(n²) cross join.
+- SimHash:      sign-aggregated word-hash bits -> 64-bit key; near-dup
+                iff Hamming distance <= k (bit_count(xor)).
+
+Determinism: every hash is a deterministic function of the text
+(xxhash64 with literal seeds / md5), so results are stable across runs
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dup_key, group_size) for rows whose normalized text appears
+    more than once. Single hash-aggregate shuffle; the md5 key keeps the
+    shuffle rows narrow (no full text travels twice)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.md5(normalize(F.col(text_col))).alias("dup_key")
+    )
+    sizes = keyed.groupBy("dup_key").agg(F.count("*").alias("group_size"))
+    return (
+        keyed.join(sizes.where(F.col("group_size") > 1), "dup_key")
+        .select("id", "dup_key", "group_size")
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, shingle) — distinct k-character shingles of normalized text."""
+    norm = normalize(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return (
+        df.select(F.col(id_col).alias("id"), norm.alias("t"), F.explode(idx).alias("i"))
+        .select("id", F.substring(F.col("t"), F.col("i"), k).alias("shingle"))
+        .where(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs (id_a < id_b, jaccard) with shingle-Jaccard >= threshold.
+
+    Exact: |A∩B| via self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+    The join shuffles on shingle — fine until a shingle becomes a hot
+    key; the MinHash path below is the 100-TB-scale variant.
+    """
+    sh = char_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    sh: DataFrame, n_perm: int = 32
+) -> DataFrame:
+    """(id, perm, minhash): per-permutation minimum of seeded xxhash64
+    over the document's shingles. Permutations come from hashing the
+    shingle together with a literal seed column — one narrow shuffle."""
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    expanded = sh.select("id", "shingle", perms)
+    return expanded.groupBy("id", "perm").agg(
+        F.min(F.xxhash64("shingle", "perm")).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    rows-per-band r = n_perm/bands; a pair at similarity s collides in
+    >=1 band with p = 1-(1-s^r)^bands (r=2, b=16: s=0.8 -> p≈0.9997).
+    Verification keeps only true-Jaccard >= threshold, so output equals
+    the exact all-pairs result with overwhelming probability while only
+    ever joining within buckets.
+    """
+    rows_per_band = n_perm // bands
+    sh = char_shingles(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(sh, n_perm).withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int")
+    )
+    band_key = sig.groupBy("id", "band").agg(
+        F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
+            "bucket"
+        )
+    )
+    a = band_key.alias("a")
+    b = band_key.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: intersect/union over shingles of candidate pairs only
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        candidates.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over whitespace tokens.
+
+    Each token hashes to 64 bits (xxhash64); bit j of the document key is
+    1 iff more token-hashes have bit j set than unset. Pure expressions:
+    explode tokens -> per-bit sign sums -> reassemble the key.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("w"),
+    ).where(F.length("w") > 0)
+    hashed = words.select("id", F.xxhash64("w").alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy("id").agg(*bit_cols)
+    key = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        key = term if key is None else key.bitwiseOR(term)
+    return sums.select("id", key.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation blocks on 16-bit quadrants (pigeonhole: any
+    pair within Hamming<=3 of 64 bits shares at least one exact
+    quadrant), avoiding the O(n²) cross join at scale.
+    """
+    sig = simhash(df, id_col, text_col)
+    quads = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("quad"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qk"),
+    ).select("id", "simhash", F.col("qk.q").alias("q"), F.col("qk.quad").alias("quad"))
+    a = quads.alias("a")
+    b = quads.alias("b")
+    cand = (
+        a.join(b, ["q", "quad"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )
