@@ -1,0 +1,770 @@
+"""Driver-contract queries: Spark DataFrame implementations paired with
+DuckDB oracle SQL over /root/testdata parquet tables.
+
+These are the relational analogues of SURVEY.md §2 operators (each
+query's docstring cites the operator id), plus the training-data
+operators (dedup / similarity / text analysis) run as first-class
+queries. Conventions for cross-engine hash equality:
+
+- every computed column is aliased identically in both engines;
+- money/quantity sums run over DECIMAL casts (exact, order-insensitive)
+  and only the final value is cast back to double and rounded;
+- timestamps leave the plan as 'yyyy-MM-dd HH:mm:ss' strings;
+- top-k queries carry a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import dedup as dd
+from . import similarity as sim
+from .text import analysis as tx
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money(col):
+    return F.col(col).cast(DEC)
+
+
+def _round2(c):
+    return F.round(c.cast("double"), 2)
+
+
+# ---------------------------------------------------------------- scans/aggs
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """A9 job-aggregate analogue — TPC-H Q1 shape: groupBy + 6 aggregates.
+    Catalyst partial+final hash aggregation (SURVEY.md A9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    charge = disc * (F.lit(1).cast(DEC) + _money("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _round2(F.sum(_money("l_quantity"))).alias("sum_qty"),
+            _round2(F.sum(_money("l_extendedprice"))).alias("sum_base_price"),
+            _round2(F.sum(disc)).alias("sum_disc_price"),
+            _round2(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(_money("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  round((sum(l_quantity::DECIMAL(18,4)))::DOUBLE, 2) AS sum_qty,
+  round((sum(l_extendedprice::DECIMAL(18,4)))::DOUBLE, 2) AS sum_base_price,
+  round((sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE, 2) AS sum_disc_price,
+  round((sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)) * (1::DECIMAL(18,4) + l_tax::DECIMAL(18,4))))::DOUBLE, 2) AS sum_charge,
+  round((sum(l_quantity::DECIMAL(18,4)))::DOUBLE / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_orders(spark, sf_dir):
+    """T1 top-k + J1 equi-join: top 10 orders by lineitem revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+            ).alias("rev_dec")
+        )
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            _round2(F.col("rev_dec")).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q02 = """
+SELECT o_orderkey AS orderkey,
+  round((sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE, 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+def q03_region_revenue(spark, sf_dir):
+    """J1 multi-join + A9: order revenue per region."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _round2(F.sum(_money("o_totalprice"))).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q03 = """
+SELECT r_name,
+  round((sum(o_totalprice::DECIMAL(18,4)))::DOUBLE, 2) AS revenue,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q04_filter_line_size(spark, sf_dir):
+    """F2 line-size filter analogue: conjunctive predicates, projection
+    pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 45) & (F.col("l_extendedprice") > 40000)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+ORACLE_Q04 = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45 AND l_extendedprice > 40000
+"""
+
+
+def q05_range_predicate(spark, sf_dir):
+    """F3 spatial/range predicate analogue: BETWEEN + IN."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        F.col("value").between(10, 20) & F.col("event_type").isin("click", "view")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+ORACLE_Q05 = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE value BETWEEN 10 AND 20 AND event_type IN ('click','view')
+"""
+
+
+def q06_avg_value_by_type(spark, sf_dir):
+    """A1 mean-angle analogue: conditional mean per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(_money("value")).cast("double") / F.count("*"), 6).alias("avg_value"),
+        _round2(F.sum(_money("value"))).alias("sum_value"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+ORACLE_Q06 = """
+SELECT event_type,
+  round((sum(value::DECIMAL(18,4)))::DOUBLE / count(*), 6) AS avg_value,
+  round((sum(value::DECIMAL(18,4)))::DOUBLE, 2) AS sum_value,
+  count(*) AS n,
+  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+def q07_median_quantity(spark, sf_dir):
+    """A2 median line-spacing analogue: exact median + p90 per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_Q07 = """
+SELECT l_returnflag,
+  round(median(l_quantity), 6) AS med_qty,
+  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q08_top_event_per_user(spark, sf_dir):
+    """A3/A4 argmax analogue: max_by with total tiebreak via window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+ORACLE_Q08 = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q09_nation_acctbal_extent(spark, sf_dir):
+    """A7/A8 min/max-extent analogue per nation."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            _round2(F.sum(_money("s_acctbal"))).alias("sum_bal"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_Q09 = """
+SELECT n_name,
+  round(min(s_acctbal), 2) AS min_bal,
+  round(max(s_acctbal), 2) AS max_bal,
+  round((sum(s_acctbal::DECIMAL(18,4)))::DOUBLE, 2) AS sum_bal,
+  count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------------ windows
+
+
+def q10_topk_orders_per_customer(spark, sf_dir):
+    """W1 reading-order analogue: rank within partition, keep top 3."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "rn",
+        )
+    )
+
+
+ORACLE_Q10 = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q11_user_sessions(spark, sf_dir):
+    """W2/sessionization: lag + cumulative gap flags (gap > 1800 s)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+ORACLE_Q11 = """
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q12_running_revenue(spark, sf_dir):
+    """W4 stateful-carry analogue: running sum per customer (exact
+    decimal accumulation, deterministic total order)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _round2(F.sum(_money("o_totalprice")).over(w)).alias("running_revenue"),
+    )
+
+
+ORACLE_Q12 = """
+SELECT o_custkey, o_orderkey,
+  round((sum(o_totalprice::DECIMAL(18,4)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE, 2) AS running_revenue
+FROM orders
+"""
+
+
+# -------------------------------------------------------------------- joins
+
+
+def q13_semi_join(spark, sf_dir):
+    """J2 analogue: EXISTS (left semi) + aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_mktsegment, count(*) AS n_customers_with_orders
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q14_anti_join(spark, sf_dir):
+    """Anti-join: customers who never placed a large (>80k) order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 80000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_Q14 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 80000)
+"""
+
+
+def q15_brand_revenue(spark, sf_dir):
+    """J2 broadcast-join analogue: lineitem x part (small dim broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _round2(F.sum(disc)).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q15 = """
+SELECT p_brand,
+  round((sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE, 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ------------------------------------------------------- strings / explode
+
+
+def q16_word_topk(spark, sf_dir):
+    """Explode/UDTF-direction analogue (§2.11): word histogram top 20."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).where(F.length("word") > 0)
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+ORACLE_Q16 = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+) WHERE length(word) > 0
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q17_clean_hash(spark, sf_dir):
+    """C1-C3 cleanup analogue: normalize + md5 + length."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = tx.clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("text_md5"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+ORACLE_Q17 = """
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_md5,
+  length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS clean_len
+FROM documents
+"""
+
+
+def q18_props_extract(spark, sf_dir):
+    """C7/C14 extraction analogue: regexp_extract from a JSON-ish string."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_Q18 = """
+SELECT event_type,
+  round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, regexp_extract(props, '(\\d+)', 1)::BIGINT AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q19_fingerprint(spark, sf_dir):
+    """C-rolling-hash document fingerprint (text/analysis.py) — identical
+    polynomial recurrence in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_Q19 = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
+    (acc, c) -> (acc * 31 + c) % 2147483647
+  ) AS fp
+FROM documents
+"""
+
+
+def q20_quality(spark, sf_dir):
+    """Quality scoring (training-data op): composite prose score."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+ORACLE_Q20 = f"""
+SELECT doc_id, round((
+    least(length(text) / 200.0, 1.0)
+  + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''\\-]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 4.0, 1.0))
+  + (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 4.0, 1.0))
+  + least((len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        w -> list_contains({tx.STOPWORDS!r}, w))) * 1.0
+        / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)) * 3.0, 1.0)
+) / 4.0, 6) AS quality
+FROM documents
+"""
+
+
+def q21_langid(spark, sf_dir):
+    """Language-ID heuristic (training-data op)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(tx.lang_id(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_Q21 = f"""
+SELECT lang, count(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 / greatest(length(text),1) < 0.5 THEN 'xx'
+    WHEN (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          w -> list_contains({tx.STOPWORDS!r}, w))) * 1.0
+          / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)) > 0.08 THEN 'en'
+    ELSE 'und' END AS lang
+  FROM documents
+) GROUP BY lang
+"""
+
+
+def q22_token_counts(spark, sf_dir):
+    """Token counting (training-data op): whitespace + BPE-ish regex."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)) AS bpe_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def q23_exact_dup_keys(spark, sf_dir):
+    """Exact dedup (hash-groupBy): md5 content keys + group sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(dd.normalize(F.col("text"))).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("group_size"))
+    )
+
+
+ORACLE_Q23 = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dup_key,
+       count(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+_JACCARD_ORACLE_TMPL = """
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) t
+  FROM documents WHERE doc_id < {max_id}
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle
+  FROM d, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+  WHERE length(substr(t, i, 5)) = 5
+),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {threshold}
+"""
+
+
+def q24_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (5-char shingles, tau=0.25)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.25)
+
+
+ORACLE_Q24 = _JACCARD_ORACLE_TMPL.format(max_id=60, threshold=0.25)
+
+
+def q25_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with exact verify — oracle is the exact
+    all-pairs Jaccard (r=1, b=32 banding: miss probability (1-s)^32,
+    ~1e-4 at s=0.25, deterministic for fixed data+seeds)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=5, n_perm=32, bands=32, threshold=0.25
+    )
+
+
+ORACLE_Q25 = ORACLE_Q24
+
+
+def q26_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — no SQL oracle (xxhash64 band keys are not
+    reproducible in DuckDB); driver records rows-only."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=26)
+
+
+# --------------------------------------------------------------- similarity
+
+
+def q27_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for 5 query vectors (exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = corpus.where(F.col("vec_id") < 5)
+    return sim.cosine_topk(corpus, queries, k=3)
+
+
+ORACLE_Q27 = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+q AS (SELECT vec_id, e FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.e, c.e) /
+      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM q JOIN c ON q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q28_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-3 (scale path) — approximate; rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = corpus.where(F.col("vec_id") < 5)
+    return sim.lsh_topk(corpus, queries, k=3, n_planes=6, n_tables=4, dim=64)
+
+
+# ----------------------------------------------------------------- streaming-ish
+
+
+def q29_tumbling_window(spark, sf_dir):
+    """Event-time tumbling window aggregate (1 h) — the batch shape of a
+    Structured Streaming windowed agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _round2(F.sum(_money("value"))).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_Q29 = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n,
+  round((sum(value::DECIMAL(18,4)))::DOUBLE, 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------- OCR pipeline
+
+
+def q30_ocr_extract_spans(spark, sf_dir):
+    """Flagship: full OCR span extraction over a synthesized interleaved
+    corpus seeded by the documents table (no SQL oracle — kernel
+    semantics are not SQL-expressible; driver records rows-only, exact
+    span equality is covered by tests/test_synth.py)."""
+    from .pipeline import extract_spans
+    from .synth import synth_corpus
+
+    docs, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
+    out = extract_spans(spark, docs, pages)
+    return out.select(
+        "doc_id",
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def q31_ocr_line_metrics(spark, sf_dir):
+    """Per-page OCR lineage metrics (rows-only)."""
+    from .pipeline import page_metrics, recognize_pages
+    from .synth import synth_corpus
+
+    docs, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
+    return page_metrics(recognize_pages(spark, docs, pages))
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders": q02_top_orders,
+    "q03_region_revenue": q03_region_revenue,
+    "q04_filter_line_size": q04_filter_line_size,
+    "q05_range_predicate": q05_range_predicate,
+    "q06_avg_value_by_type": q06_avg_value_by_type,
+    "q07_median_quantity": q07_median_quantity,
+    "q08_top_event_per_user": q08_top_event_per_user,
+    "q09_nation_acctbal_extent": q09_nation_acctbal_extent,
+    "q10_topk_orders_per_customer": q10_topk_orders_per_customer,
+    "q11_user_sessions": q11_user_sessions,
+    "q12_running_revenue": q12_running_revenue,
+    "q13_semi_join": q13_semi_join,
+    "q14_anti_join": q14_anti_join,
+    "q15_brand_revenue": q15_brand_revenue,
+    "q16_word_topk": q16_word_topk,
+    "q17_clean_hash": q17_clean_hash,
+    "q18_props_extract": q18_props_extract,
+    "q19_fingerprint": q19_fingerprint,
+    "q20_quality": q20_quality,
+    "q21_langid": q21_langid,
+    "q22_token_counts": q22_token_counts,
+    "q23_exact_dup_keys": q23_exact_dup_keys,
+    "q24_jaccard_pairs": q24_jaccard_pairs,
+    "q25_minhash_lsh_pairs": q25_minhash_lsh_pairs,
+    "q26_simhash_pairs": q26_simhash_pairs,
+    "q27_ann_cosine_topk": q27_ann_cosine_topk,
+    "q28_ann_lsh_topk": q28_ann_lsh_topk,
+    "q29_tumbling_window": q29_tumbling_window,
+    "q30_ocr_extract_spans": q30_ocr_extract_spans,
+    "q31_ocr_line_metrics": q31_ocr_line_metrics,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_top_orders": ORACLE_Q02,
+    "q03_region_revenue": ORACLE_Q03,
+    "q04_filter_line_size": ORACLE_Q04,
+    "q05_range_predicate": ORACLE_Q05,
+    "q06_avg_value_by_type": ORACLE_Q06,
+    "q07_median_quantity": ORACLE_Q07,
+    "q08_top_event_per_user": ORACLE_Q08,
+    "q09_nation_acctbal_extent": ORACLE_Q09,
+    "q10_topk_orders_per_customer": ORACLE_Q10,
+    "q11_user_sessions": ORACLE_Q11,
+    "q12_running_revenue": ORACLE_Q12,
+    "q13_semi_join": ORACLE_Q13,
+    "q14_anti_join": ORACLE_Q14,
+    "q15_brand_revenue": ORACLE_Q15,
+    "q16_word_topk": ORACLE_Q16,
+    "q17_clean_hash": ORACLE_Q17,
+    "q18_props_extract": ORACLE_Q18,
+    "q19_fingerprint": ORACLE_Q19,
+    "q20_quality": ORACLE_Q20,
+    "q21_langid": ORACLE_Q21,
+    "q22_token_counts": ORACLE_Q22,
+    "q23_exact_dup_keys": ORACLE_Q23,
+    "q24_jaccard_pairs": ORACLE_Q24,
+    "q25_minhash_lsh_pairs": ORACLE_Q25,
+    "q27_ann_cosine_topk": ORACLE_Q27,
+    "q29_tumbling_window": ORACLE_Q29,
+    # q26/q28/q30/q31: intentionally no oracle (engine-specific hashes /
+    # non-SQL-expressible kernels) — rows-only checks.
+}
