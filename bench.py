@@ -1,0 +1,98 @@
+"""Per-round benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus ocr docs/sec extras}.
+
+Each query is forced through a noop sink (full materialization, no
+column pruning shortcuts). The OCR headline is the north-star metric:
+end-to-end span extraction over a corpus synthesized distributively
+from the documents table (1 page, 3 lines per doc).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_orders",
+    "q07_median_quantity",
+    "q10_topk_orders_per_customer",
+    "q11_user_sessions",
+    "q15_brand_revenue",
+    "q16_word_topk",
+    "q23_exact_dup_keys",
+    "q24_jaccard_pairs",
+    "q25_minhash_lsh_pairs",
+    "q27_ann_cosine_topk",
+    "q29_tumbling_window",
+]
+
+
+def _sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from ocr_inference_spark.queries import QUERIES
+    from ocr_inference_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Python workers once (excluded from timings)
+    _sink(QUERIES["q01_pricing_summary"](spark, SF_DIR))
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _sink(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # OCR end-to-end: synthesize + extract (the north-star metric)
+    from ocr_inference_spark.pipeline import extract_spans
+    from ocr_inference_spark.synth import synth_corpus
+
+    docs, pages, _ = synth_corpus(spark, SF_DIR)
+    pages = pages.cache()
+    n_docs = pages.count()  # materialize rendering outside the OCR timing
+    t0 = time.perf_counter()
+    _sink(extract_spans(spark, docs, pages))
+    ocr_sec = round(time.perf_counter() - t0, 3)
+    timings["ocr_extract_spans"] = ocr_sec
+    pages.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ocr_docs": n_docs,
+                "ocr_docs_per_sec": round(n_docs / ocr_sec, 2) if ocr_sec else None,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

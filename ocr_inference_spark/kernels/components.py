@@ -61,13 +61,21 @@ class Component:
         )
 
 
-def _row_runs(row: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Binary row -> (starts, ends) of ink runs, ends exclusive."""
-    padded = np.empty(row.shape[0] + 2, dtype=np.int8)
-    padded[0] = padded[-1] = 0
-    padded[1:-1] = row
-    d = np.diff(padded)
-    return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+def _all_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All ink runs of a {0,1} mask in one vectorized pass.
+
+    Returns (rows, starts, ends) sorted by (row, start); ends exclusive.
+    One np.diff over the zero-padded mask replaces a per-row Python
+    loop — the CC hot path at page scale.
+    """
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sr, sc = np.nonzero(d == 1)
+    er, ec = np.nonzero(d == -1)
+    # np.nonzero is row-major: starts and ends align pairwise per row
+    return sr, sc, ec
 
 
 def connected_components(mask: np.ndarray) -> list[Component]:
@@ -88,13 +96,27 @@ def connected_components(mask: np.ndarray) -> list[Component]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    rrows, rstarts, rends = _all_runs(mask)
+    # slice boundaries per row in the (row-major sorted) run arrays
+    row_break = np.searchsorted(rrows, np.arange(h + 1))
+    rstarts_l = rstarts.tolist()
+    rends_l = rends.tolist()
+
     all_runs: list[tuple[int, int, int, int]] = []  # (row, x0, x1, label)
     prev: list[tuple[int, int, int]] = []  # (x0, x1, label) of previous row
+    prev_y = -2
     for y in range(h):
-        starts, ends = _row_runs(mask[y])
+        lo, hi = row_break[y], row_break[y + 1]
+        if lo == hi:
+            prev = []
+            prev_y = -2
+            continue
+        if prev_y != y - 1:
+            prev = []
         cur: list[tuple[int, int, int]] = []
         pi = 0
-        for x0, x1 in zip(starts.tolist(), ends.tolist()):
+        for ri in range(lo, hi):
+            x0, x1 = rstarts_l[ri], rends_l[ri]
             label = -1
             while pi < len(prev) and prev[pi][1] < x0:  # prev entirely left (8-conn allows touch)
                 pi += 1
@@ -112,6 +134,7 @@ def connected_components(mask: np.ndarray) -> list[Component]:
             cur.append((x0, x1, label))
             all_runs.append((y, x0, x1, label))
         prev = cur
+        prev_y = y
 
     groups: dict[int, list[tuple[int, int, int]]] = {}
     for y, x0, x1, label in all_runs:

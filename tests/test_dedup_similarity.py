@@ -1,0 +1,71 @@
+"""Unit tests for dedup and similarity operators on controlled data
+(true positives included — the driver testdata has no exact dups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(id=2, text="The quick  brown fox jumps over the lazy dog"),  # exact dup after normalize
+        Row(id=3, text="the quick brown fox jumps over the lazy cat"),   # near dup
+        Row(id=4, text="completely different content about spark engines"),
+        Row(id=5, text="totally unrelated words here nothing shared at all"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates(docs):
+    from ocr_inference_spark.dedup import exact_duplicates
+
+    out = {r["id"]: r["group_size"] for r in exact_duplicates(docs, "id", "text").collect()}
+    assert out == {1: 2, 2: 2}
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    from ocr_inference_spark.dedup import jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs, "id", "text", k=5, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalize
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact(docs):
+    from ocr_inference_spark.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = sorted(tuple(r) for r in jaccard_pairs(docs, "id", "text", 5, 0.5).collect())
+    lsh = sorted(tuple(r) for r in
+                 minhash_lsh_pairs(docs, "id", "text", 5, n_perm=32, bands=32,
+                                   threshold=0.5).collect())
+    assert lsh == exact
+
+
+def test_simhash_near_dup(docs):
+    from ocr_inference_spark.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, "id", "text", max_hamming=16).collect()}
+    assert pairs.get((1, 2)) == 0  # identical token multiset
+    assert (1, 3) in pairs  # one word changed -> small hamming
+    assert (4, 5) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    from ocr_inference_spark.similarity import cosine_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df, df.where("vec_id = 0"), k=2).collect()
+    ranked = sorted((r["rank"], r["neighbor_id"]) for r in out)
+    assert ranked == [(1, 1), (2, 2)]  # closest first; ties by id
