@@ -1,0 +1,54 @@
+"""spark-submit entry point for the OCR span-extraction job.
+
+    spark-submit --py-files ocr_inference_spark.zip jobs/run_extract.py \
+        --documents s3://.../documents --pages s3://.../pages \
+        --output s3://.../out --metrics s3://.../metrics \
+        --job-id nightly-2026-08-16 --buckets 4096
+
+Build the zip with: scripts/package.sh
+Resumable: rerunning with the same --job-id anti-joins completed
+buckets from the metrics table and only processes the remainder
+(ocr_inference_spark/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True, help="input spans table/path")
+    ap.add_argument("--pages", required=True, help="media sidecar table/path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", required=True)
+    ap.add_argument("--job-id", required=True)
+    ap.add_argument("--buckets", type=int, default=1024)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from ocr_inference_spark.checkpoint import run_resumable
+    from ocr_inference_spark.io import read_table
+    from ocr_inference_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ocr_extract_{args.job_id}", master=args.master)
+    docs = read_table(spark, args.documents)
+    pages = read_table(spark, args.pages)
+    run_resumable(
+        spark,
+        docs,
+        pages,
+        output_path=args.output,
+        metrics_path=args.metrics,
+        job_id=args.job_id,
+        n_buckets=args.buckets,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

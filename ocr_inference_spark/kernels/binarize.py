@@ -29,21 +29,13 @@ def box_mean(gray: np.ndarray, block: int) -> np.ndarray:
     Edges are handled by edge-value padding (each out-of-bounds sample
     repeats the nearest border pixel), which keeps the window area
     constant so the whole filter is four integral-image slices — no
-    fancy indexing, ~3x faster than clamped-window area bookkeeping.
+    fancy indexing.
     """
+    from .boxops import box_sum_from_integral, integral
+
     r = block // 2
-    padded = np.pad(gray, r, mode="edge")
-    ph, pw = padded.shape
-    integ = np.zeros((ph + 1, pw + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(padded, axis=0, dtype=np.int64), axis=1, out=integ[1:, 1:])
     b = 2 * r + 1
-    total = (
-        integ[b:, b:]
-        - integ[:-b, b:]
-        - integ[b:, :-b]
-        + integ[:-b, :-b]
-    )
-    return total / float(b * b)
+    return box_sum_from_integral(integral(gray, r), b, b) / float(b * b)
 
 
 def binarize(
@@ -53,12 +45,18 @@ def binarize(
 
     adaptive=True: pixel is ink iff value < local_mean - c (the
     adaptive-threshold semantics of the reference, block/C defaults
-    matching BDRC/utils.py:802-808). adaptive=False: global threshold
-    120 (reference: BDRC/utils.py:810-813).
+    matching BDRC/utils.py:802-808), evaluated in pure integer
+    arithmetic: gray*b² < box_sum - c*b² — no float array materializes.
+    adaptive=False: global threshold 120 (BDRC/utils.py:810-813).
     """
+    from .boxops import box_sum_from_integral, integral
+
     if gray.ndim != 2:
         gray = to_gray(gray)
     if adaptive:
-        thresh = box_mean(gray, block) - c
-        return (gray < thresh).astype(np.uint8)
+        r = block // 2
+        b = 2 * r + 1
+        total = box_sum_from_integral(integral(gray, r), b, b)
+        lhs = gray.astype(np.int32) * (b * b)
+        return (lhs < total - c * b * b).astype(np.uint8)
     return (gray < 120).astype(np.uint8)

@@ -21,10 +21,11 @@ TOP_K_BEAMS = 10  # reference: BDRC/inference.py:690-693
 
 
 def log_softmax(logits: np.ndarray) -> np.ndarray:
-    """(T, V) raw scores -> log-probabilities, numerically stable."""
+    """(T, V) raw scores -> log-probabilities, numerically stable.
+    Kept in float32 when the input is float32 (half the bandwidth)."""
     m = logits.max(axis=1, keepdims=True)
     z = logits - m
-    return z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+    return z - np.log(np.exp(z).sum(axis=1, keepdims=True, dtype=z.dtype))
 
 
 def greedy_decode(logits: np.ndarray) -> tuple[np.ndarray, float]:

@@ -60,16 +60,14 @@ def shear_correct(img: np.ndarray, angle_deg: float, fill: int = 0) -> np.ndarra
     BDRC/line_detection.py:62-76)."""
     if angle_deg == 0.0:
         return img
-    h, w = img.shape[:2]
+    from .dewarp import apply_column_shift
+
+    w = img.shape[1]
     cx = (w - 1) / 2.0
     shift = np.rint((np.arange(w) - cx) * math.tan(math.radians(angle_deg))).astype(
-        np.int64
+        np.int32
     )
-    ys = np.arange(h)[:, None] + shift[None, :]
-    inside = (ys >= 0) & (ys < h)
-    ys_c = np.clip(ys, 0, h - 1)
-    out = img[ys_c, np.arange(w)[None, :]]
-    return np.where(inside, out, fill).astype(img.dtype)
+    return apply_column_shift(img, shift, fill=fill)
 
 
 def rotate_image(

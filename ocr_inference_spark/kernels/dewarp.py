@@ -131,14 +131,16 @@ def fit_page_shift(
 
 
 def apply_column_shift(img: np.ndarray, shift: np.ndarray, fill: int = 0) -> np.ndarray:
-    """Shift column x up by shift[x] pixels (vectorized gather)."""
+    """Shift column x up by shift[x] pixels (vectorized int32 gather)."""
     h, w = img.shape[:2]
-    ys = np.arange(h)[:, None] + shift[None, :]
+    ys = np.arange(h, dtype=np.int32)[:, None] + shift.astype(np.int32)[None, :]
     inside = (ys >= 0) & (ys < h)
-    ys_c = np.clip(ys, 0, h - 1)
-    out = img[ys_c, np.arange(w)[None, :]]
-    out = np.where(inside, out, fill).astype(img.dtype)
-    return out
+    np.clip(ys, 0, h - 1, out=ys)
+    out = img[ys, np.arange(w, dtype=np.int32)[None, :]]
+    if fill == 0:
+        out *= inside  # zero the out-of-range cells without np.where
+        return out
+    return np.where(inside, out, fill).astype(img.dtype)
 
 
 def rectify_page(

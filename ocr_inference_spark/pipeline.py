@@ -107,7 +107,9 @@ def recognize_pages(
     media = media_spans(docs_df)
     joined = media.join(pages_df.select("media_ref", "content"), "media_ref")
     if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # 4 waves per core: variable per-page cost (deskew/dewarp redetects)
+        # balances out without a long straggler tail
+        n_partitions = spark.sparkContext.defaultParallelism * 4
     # page-granular distribution: one hot document cannot skew a partition
     joined = joined.repartition(n_partitions, "media_ref")
     return joined.mapInPandas(_make_ocr_kernel(weight_bc), schema=OCR_LINES_SCHEMA)
