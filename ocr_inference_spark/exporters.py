@@ -1,0 +1,102 @@
+"""Sinks: TXT / PageXML / JSONL / detection-parquet exporters.
+
+Re-expresses the reference's exporter family (BDRC/exporter.py) and the
+detection parquet sink (write_result_parquet, BDRC/utils.py:1119-1139)
+as DataFrame writes. All formatting happens in JVM expressions
+(concat_ws/transform/to_json) — one output file per page is replaced by
+partitioned columnar output, which is the cluster-native equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ocr_lines_to_txt(ocr_df: DataFrame, out_dir: str) -> None:
+    """K1 TXT sink (TextExporter.export_lines, BDRC/exporter.py:296-320):
+    one text line per detected line in reading order, grouped per page.
+    Written as a text-format table partitioned by nothing (driver-side
+    order within a page preserved through array_sort)."""
+    per_page = (
+        ocr_df.where(F.col("status") == "success")
+        .groupBy("doc_id", "media_ref")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_rank", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("value")
+        )
+        .select(F.concat_ws("\n", F.col("media_ref"), F.col("value")).alias("value"))
+    )
+    per_page.write.mode("overwrite").text(out_dir)
+
+
+def ocr_lines_to_jsonl(ocr_df: DataFrame, out_dir: str) -> None:
+    """K3 JSONL sink (JsonExporter, BDRC/exporter.py:355-407):
+    {image, lines, text[]} per page."""
+    per_page = (
+        ocr_df.where(F.col("status") == "success")
+        .groupBy("doc_id", "media_ref")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_rank", "text"))),
+                lambda s: s["text"],
+            ).alias("text")
+        )
+        .select(
+            F.col("media_ref").alias("image"),
+            F.col("doc_id"),
+            F.col("text"),
+        )
+    )
+    per_page.write.mode("overwrite").json(out_dir)
+
+
+def ocr_lines_to_pagexml(ocr_df: DataFrame, out_dir: str) -> None:
+    """K2 PageXML sink (PageXMLExporter, BDRC/exporter.py:162-276):
+    minimal PcGts document per page with reading-order indexed lines,
+    built from pure string expressions."""
+    line_xml = F.transform(
+        F.array_sort(F.collect_list(F.struct("line_rank", "text"))),
+        lambda s: F.concat(
+            F.lit('    <TextLine id="l'),
+            s["line_rank"].cast("string"),
+            F.lit('" index="'),
+            s["line_rank"].cast("string"),
+            F.lit('"><TextEquiv><Unicode>'),
+            s["text"],
+            F.lit("</Unicode></TextEquiv></TextLine>"),
+        ),
+    )
+    per_page = (
+        ocr_df.where(F.col("status") == "success")
+        .groupBy("doc_id", "media_ref")
+        .agg(line_xml.alias("lines"))
+        .select(
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<PcGts>\n'),
+                F.lit('  <Page imageFilename="'),
+                F.col("media_ref"),
+                F.lit('">\n'),
+                F.array_join(F.col("lines"), "\n"),
+                F.lit("\n  </Page>\n</PcGts>"),
+            ).alias("value")
+        )
+    )
+    per_page.write.mode("overwrite").text(out_dir)
+
+
+def detection_to_parquet(det_df: DataFrame, out_dir: str) -> None:
+    """K4 detection parquet sink (LINE_DETECTION_SCHEMA, Config.py:90-115;
+    zstd like BDRC/utils.py:1139)."""
+    det_df.write.mode("overwrite").option("compression", "zstd").parquet(out_dir)
+
+
+def ocr_lines_to_parquet(ocr_df: DataFrame, out_dir: str) -> None:
+    """K5 OCR-lines parquet sink (save_ocr_lines_parquet,
+    BDRC/utils.py:1240-1292; zstd level ~7 -> codec zstd)."""
+    ocr_df.write.mode("overwrite").option("compression", "zstd").parquet(out_dir)

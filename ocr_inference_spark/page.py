@@ -32,7 +32,7 @@ from .kernels.components import (
     filter_area,
     filter_line_contours,
 )
-from .kernels.ctc import ctc_confidence, greedy_decode
+from .kernels.ctc import beam_decode, ctc_confidence, greedy_decode
 from .kernels.deskew import ROTATE_THRESHOLD, estimate_page_angle, shear_correct
 from .kernels.dewarp import rectify_page
 from .kernels.linecrop import extract_line_images
@@ -53,6 +53,7 @@ class PageResult:
     n_lines: int = 0
     status: str = "success"
     error: str = ""
+    beams: list = field(default_factory=list)  # eval_mode: top-k (text, logp) per line
 
 
 def _detect(ink: np.ndarray):
@@ -62,7 +63,33 @@ def _detect(ink: np.ndarray):
     return mask, comps
 
 
-def process_page(content: bytes, session: RecognitionSession) -> PageResult:
+def detect_page(content: bytes) -> dict:
+    """Detection-only kernel (EP3 analogue, infer_lines_cli.py): page
+    bytes -> line bboxes in reading order under LINE_DETECTION_SCHEMA
+    semantics (Config.py:90-115)."""
+    try:
+        gray = to_gray(png_decode(content))
+    except Exception as exc:
+        return {"status": "decode_failed", "error": str(exc)[:200], "bboxes": [],
+                "width": 0, "height": 0}
+    ink = binarize(gray)
+    mask, comps = _detect(ink)
+    line_comps = filter_line_contours(comps, ink.shape[1])
+    ordered, _ = sort_lines_by_threshold(line_comps, mask.shape)
+    return {
+        "status": "success",
+        "error": "",
+        "width": int(gray.shape[1]),
+        "height": int(gray.shape[0]),
+        "bboxes": [
+            {"x": c.x, "y": c.y, "w": c.w, "h": c.h} for c in ordered
+        ],
+    }
+
+
+def process_page(
+    content: bytes, session: RecognitionSession, eval_mode: bool = False
+) -> PageResult:
     try:
         gray = to_gray(png_decode(content))
     except Exception as exc:  # malformed media payload -> failed row
@@ -90,16 +117,28 @@ def process_page(content: bytes, session: RecognitionSession) -> PageResult:
         ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
         line_imgs = extract_line_images(ink, ordered)
 
-        # stage 5: recognition
+        # stage 5: recognition (eval_mode switches to beam decode with
+        # top-k + confidences, cf. run_text_recognition_eval,
+        # BDRC/inference.py:668-726)
         logits_list = session.forward_batch(line_imgs)
         texts: list[str] = []
         confs: list[float] = []
+        beams_out: list[list[tuple[str, float]]] = []
         for logits in logits_list:
-            ids, score = greedy_decode(logits)
+            if eval_mode:
+                beams = beam_decode(logits)
+                ids = beams[0][0]
+                score = beams[0][1]
+                beams_out.append(
+                    [(decode_ids(b_ids), b_score) for b_ids, b_score in beams]
+                )
+            else:
+                ids, score = greedy_decode(logits)
             text = decode_ids(ids)
             texts.append(text)
             confs.append(ctc_confidence(score, len(text)))
         return PageResult(
+            beams=beams_out,
             texts=texts,
             confs=confs,
             angle=float(angle),

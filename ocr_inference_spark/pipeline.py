@@ -178,6 +178,43 @@ def extract_spans(
     return out
 
 
+DETECTION_OUT_SCHEMA = (
+    "image_name string, image_width int, image_height int, num_contours int,"
+    " bboxes array<struct<x:int, y:int, w:int, h:int>>, status string"
+)
+
+
+def detect_lines(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
+    """Detection-only job (EP3, infer_lines_cli.py): pages -> per-page
+    line bboxes in reading order (LINE_DETECTION_SCHEMA analogue)."""
+    import pandas as pd  # noqa: F811
+
+    def kernel(batches):
+        from .page import detect_page
+
+        for pdf in batches:
+            rows = {
+                "image_name": [], "image_width": [], "image_height": [],
+                "num_contours": [], "bboxes": [], "status": [],
+            }
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                d = detect_page(bytes(content))
+                rows["image_name"].append(ref)
+                rows["image_width"].append(d["width"])
+                rows["image_height"].append(d["height"])
+                rows["num_contours"].append(len(d["bboxes"]))
+                rows["bboxes"].append(d["bboxes"])
+                rows["status"].append(d["status"])
+            yield pd.DataFrame(rows)
+
+    n = spark.sparkContext.defaultParallelism * 4
+    return (
+        pages_df.select("media_ref", "content")
+        .repartition(n, "media_ref")
+        .mapInPandas(kernel, schema=DETECTION_OUT_SCHEMA)
+    )
+
+
 def page_metrics(ocr_df: DataFrame) -> DataFrame:
     """Per-page QA metrics (cf. job metrics, BDRC/pipeline.py:177-187)."""
     return ocr_df.groupBy("doc_id", "media_ref").agg(

@@ -703,6 +703,68 @@ def q31_ocr_line_metrics(spark, sf_dir):
     return page_metrics(recognize_pages(spark, docs, pages))
 
 
+def q32_cer(spark, sf_dir):
+    """A10 CER-evaluation analogue (OCREvaluator.evaluate_distribution,
+    BDRC/inference.py:1013-1040): edit distance between raw and cleaned
+    text as prediction/label pairs, averaged per source 'distribution'."""
+    docs = _t(spark, sf_dir, "documents")
+    label = tx.clean_text(F.col("text"))
+    pred = F.trim(F.lower(F.col("text")))
+    cer = F.levenshtein(pred, label) / F.greatest(F.length(label), F.lit(1))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.round(F.avg(cer), 6).alias("avg_cer"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_Q32 = """
+SELECT source,
+  round(avg(levenshtein(trim(lower(text)),
+      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    * 1.0 / greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1)), 6) AS avg_cer,
+  count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q33_encoding_roundtrip(spark, sf_dir):
+    """C4 encoding-conversion analogue: transliteration is exactly
+    reversible; outputs per-doc md5 of translit + a roundtrip flag."""
+    from .text.encodings import from_translit, to_translit
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = to_translit(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(tr).alias("translit_md5"),
+        (from_translit(tr) == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+ORACLE_Q33 = """
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(text, '([aeiou])', '\\1''', 'g'),
+      '([0-9])', '#\\1', 'g')) AS translit_md5,
+  true AS roundtrip_ok
+FROM documents
+"""
+
+
+def q34_detect_lines(spark, sf_dir):
+    """EP3 detection-only path over synthesized pages (rows-only)."""
+    from .pipeline import detect_lines
+    from .synth import synth_corpus
+
+    _, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
+    det = detect_lines(spark, pages)
+    return det.select(
+        "image_name", "image_width", "image_height", "num_contours", "status"
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -735,6 +797,9 @@ QUERIES = {
     "q29_tumbling_window": q29_tumbling_window,
     "q30_ocr_extract_spans": q30_ocr_extract_spans,
     "q31_ocr_line_metrics": q31_ocr_line_metrics,
+    "q32_cer": q32_cer,
+    "q33_encoding_roundtrip": q33_encoding_roundtrip,
+    "q34_detect_lines": q34_detect_lines,
 }
 
 ORACLES = {
@@ -765,6 +830,8 @@ ORACLES = {
     "q25_minhash_lsh_pairs": ORACLE_Q25,
     "q27_ann_cosine_topk": ORACLE_Q27,
     "q29_tumbling_window": ORACLE_Q29,
-    # q26/q28/q30/q31: intentionally no oracle (engine-specific hashes /
-    # non-SQL-expressible kernels) — rows-only checks.
+    "q32_cer": ORACLE_Q32,
+    "q33_encoding_roundtrip": ORACLE_Q33,
+    # q26/q28/q30/q31/q34: intentionally no oracle (engine-specific
+    # hashes / non-SQL-expressible kernels) — rows-only checks.
 }
