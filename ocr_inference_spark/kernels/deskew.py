@@ -49,6 +49,15 @@ def estimate_page_angle(comps: list[Component], shape: tuple[int, int]) -> float
     return float(np.mean(angles))
 
 
+def shear_shift(width: int, angle_deg: float) -> np.ndarray:
+    """Per-column up-shift (int32) that deskews a page of ``width`` by
+    ``angle_deg`` via vertical shear: round((x - cx)·tan(angle))."""
+    cx = (width - 1) / 2.0
+    return np.rint(
+        (np.arange(width) - cx) * math.tan(math.radians(angle_deg))
+    ).astype(np.int32)
+
+
 def shear_correct(img: np.ndarray, angle_deg: float, fill: int = 0) -> np.ndarray:
     """Small-angle deskew by integer vertical shear: column x shifts up by
     round((x - cx)·tan(angle)). For |angle| < 5° this equals rotation up
@@ -62,12 +71,7 @@ def shear_correct(img: np.ndarray, angle_deg: float, fill: int = 0) -> np.ndarra
         return img
     from .dewarp import apply_column_shift
 
-    w = img.shape[1]
-    cx = (w - 1) / 2.0
-    shift = np.rint((np.arange(w) - cx) * math.tan(math.radians(angle_deg))).astype(
-        np.int32
-    )
-    return apply_column_shift(img, shift, fill=fill)
+    return apply_column_shift(img, shear_shift(img.shape[1], angle_deg), fill=fill)
 
 
 def rotate_image(

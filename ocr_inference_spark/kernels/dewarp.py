@@ -29,13 +29,20 @@ TPS_THRESHOLD = 0.25  # reference: BDRC/inference.py:558
 SLICE_FRACTIONS = (0.0, 0.25, 0.5, 0.75, 1.0)  # reference: image_dewarping.py:137-147
 
 
-def line_slice_stats(comp: Component, slice_width: int = 8) -> tuple[np.ndarray, np.ndarray]:
+def line_slice_stats(
+    comp: Component, slice_width: int = 8, base_shift: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(centers, heights) of the component at 5 x-slices (NaN if empty).
 
     Heights are *local* slice heights (the vertical extent of ink inside
     the slice), matching ``get_global_center``
     (BDRC/image_dewarping.py:77-115) — a warped band's local height stays
     ~one line tall even though its bbox inflates.
+
+    ``base_shift`` (per-column up-shift already scheduled, e.g. the
+    deskew shear) is applied analytically: rows are evaluated as
+    row - shift(slice center) — so the dewarp gate sees post-deskew
+    geometry without the ink ever being re-materialized.
     """
     centers = np.full(len(SLICE_FRACTIONS), np.nan)
     heights = np.full(len(SLICE_FRACTIONS), np.nan)
@@ -47,16 +54,21 @@ def line_slice_stats(comp: Component, slice_width: int = 8) -> tuple[np.ndarray,
                 lo = row if lo is None else min(lo, row)
                 hi = row if hi is None else max(hi, row)
         if lo is not None:
-            centers[i] = (lo + hi) / 2.0
+            s = 0.0
+            if base_shift is not None:
+                s = float(base_shift[min(x_start + slice_width // 2, len(base_shift) - 1)])
+            centers[i] = (lo + hi) / 2.0 - s
             heights[i] = hi - lo + 1
     return centers, heights
 
 
-def check_line_distortion(comp: Component) -> tuple[bool, float]:
+def check_line_distortion(
+    comp: Component, base_shift: np.ndarray | None = None
+) -> tuple[bool, float]:
     """(distorted?, max Δy of slice centers). Distorted iff the center
     spread exceeds the mean local slice height
     (reference: check_line_tps, BDRC/image_dewarping.py:118-193)."""
-    centers, heights = line_slice_stats(comp)
+    centers, heights = line_slice_stats(comp, base_shift=base_shift)
     valid = centers[~np.isnan(centers)]
     if valid.size < 2:
         return False, 0.0
@@ -65,14 +77,16 @@ def check_line_distortion(comp: Component) -> tuple[bool, float]:
     return dy > mean_h, dy
 
 
-def distortion_ratio(comps: list[Component]) -> tuple[float, list[float]]:
+def distortion_ratio(
+    comps: list[Component], base_shift: np.ndarray | None = None
+) -> tuple[float, list[float]]:
     """Fraction of distorted lines + per-line Δy values
     (reference: check_for_tps, BDRC/image_dewarping.py:196-227)."""
     if not comps:
         return 0.0, []
     flags, dys = [], []
     for c in comps:
-        flag, dy = check_line_distortion(c)
+        flag, dy = check_line_distortion(c, base_shift)
         flags.append(flag)
         dys.append(dy)
     return float(np.mean(flags)), dys
@@ -87,7 +101,10 @@ def best_global_line(comps: list[Component], dys: list[float]) -> Component:
 
 
 def fit_page_shift(
-    comps: list[Component], width: int, degree: int = 9
+    comps: list[Component],
+    width: int,
+    degree: int = 9,
+    base_shift: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-column integer vertical shift flattening the page's shared warp.
 
@@ -108,8 +125,11 @@ def fit_page_shift(
         if valid.sum() < 2:
             continue
         xs = (np.flatnonzero(valid) + comp.x).astype(np.float64)
+        ys = top[valid]
+        if base_shift is not None:
+            ys = ys - base_shift[xs.astype(np.int64)]
         xs_all.append(xs)
-        ys_all.append(top[valid])
+        ys_all.append(ys)
         line_idx.append(np.full(xs.shape, i, dtype=np.int64))
     if not xs_all:
         return np.zeros(width, dtype=np.int64)

@@ -33,8 +33,13 @@ from .kernels.components import (
     filter_line_contours,
 )
 from .kernels.ctc import beam_decode, ctc_confidence, greedy_decode
-from .kernels.deskew import ROTATE_THRESHOLD, estimate_page_angle, shear_correct
-from .kernels.dewarp import rectify_page
+from .kernels.deskew import ROTATE_THRESHOLD, estimate_page_angle, shear_shift
+from .kernels.dewarp import (
+    TPS_THRESHOLD,
+    apply_column_shift,
+    distortion_ratio,
+    fit_page_shift,
+)
 from .kernels.linecrop import extract_line_images
 from .kernels.morphology import line_segmentation_mask
 from .kernels.reading_order import sort_lines_by_threshold
@@ -96,22 +101,30 @@ def process_page(
         return PageResult(status="decode_failed", error=str(exc)[:200])
     try:
         ink = binarize(gray)
+        width = ink.shape[1]
         # stage 1: detection
         mask, comps = _detect(ink)
 
-        # stage 2: deskew (reference: BDRC/line_detection.py:212-244)
+        # stage 2: deskew (reference: BDRC/line_detection.py:212-244) —
+        # the correction is a per-column shift, SCHEDULED here and
+        # composed with the dewarp shift below so the ink is
+        # re-materialized (and re-detected) at most once
         angle = estimate_page_angle(comps, mask.shape)
-        if abs(angle) > ROTATE_THRESHOLD:
-            ink = shear_correct(ink, angle, fill=0)
-            mask, comps = _detect(ink)
+        base = shear_shift(width, angle) if abs(angle) > ROTATE_THRESHOLD else None
 
-        # stage 3: dewarp (reference: BDRC/inference.py:535-589)
-        line_comps = filter_line_contours(comps, ink.shape[1])
-        ink2, applied, ratio = rectify_page(ink, line_comps)
+        # stage 3: dewarp gate + fit on analytically-deskewed geometry
+        # (reference: BDRC/inference.py:535-589)
+        line_comps = filter_line_contours(comps, width)
+        ratio, _dys = distortion_ratio(line_comps, base)
+        applied = ratio > TPS_THRESHOLD and bool(line_comps)
+        total = base
         if applied:
-            ink = ink2
+            s2 = fit_page_shift(line_comps, width, base_shift=base)
+            total = s2 if base is None else base + s2
+        if total is not None:
+            ink = apply_column_shift(ink, total)
             mask, comps = _detect(ink)
-            line_comps = filter_line_contours(comps, ink.shape[1])
+            line_comps = filter_line_contours(comps, width)
 
         # stage 4: reading order + extraction
         ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
