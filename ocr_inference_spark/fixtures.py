@@ -66,7 +66,7 @@ def build_corpus(
                 n_lines = rng.randint(1, max_lines_per_page)
                 lines = [_make_text(rng, rng.randint(2, 6)) for _ in range(n_lines)]
                 style = rng.randint(0, 3)
-                kw = {}
+                kw = {"noise": rng.random() < 0.5}  # page furniture to strip
                 if style == 1:
                     kw["skew_deg"] = rng.uniform(0.8, 4.0) * rng.choice([-1, 1])
                 elif style == 2:

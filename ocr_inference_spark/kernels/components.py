@@ -168,8 +168,25 @@ def filter_area(comps: list[Component], min_area: float) -> list[Component]:
 
 
 def filter_line_contours(
-    comps: list[Component], image_width: int, min_h: int = 10
+    comps: list[Component],
+    image_width: int,
+    min_h: int = 10,
+    deflate_w: int = 0,
+    deflate_h: int = 0,
 ) -> list[Component]:
     """Keep components with w > 1% image width and h > min_h
-    (reference: filter_line_contours, BDRC/line_detection.py:247-264)."""
-    return [c for c in comps if c.w > image_width * 0.01 and c.h > min_h]
+    (reference: filter_line_contours, BDRC/line_detection.py:247-264).
+
+    ``deflate_w``/``deflate_h`` subtract the segmentation model's
+    dilation margins so the size test applies to the underlying *ink*
+    extent — this is what strips non-content page furniture (margin
+    rules, header rules, page-number blobs: the reference's non-line
+    layout classes, Config.py:37-48) whose mask components would
+    otherwise be inflated past the thresholds by the closing operation.
+    """
+    return [
+        c
+        for c in comps
+        if (c.w - 2 * deflate_w) > image_width * 0.01
+        and (c.h - 2 * deflate_h) > min_h
+    ]

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# structuring-element radii of the line "segmentation model" — exported
+# so the line-size filter can deflate mask components back to ink extent
+H_RADIUS = 8
+V_RADIUS = 5
+
 
 def dilate_h(mask: np.ndarray, radius: int) -> np.ndarray:
     """Horizontal binary dilation by ``radius`` (window 2r+1).
@@ -49,7 +54,7 @@ def dilate_v(mask: np.ndarray, radius: int) -> np.ndarray:
 
 
 def line_segmentation_mask(
-    ink: np.ndarray, h_radius: int = 8, v_radius: int = 5
+    ink: np.ndarray, h_radius: int = H_RADIUS, v_radius: int = V_RADIUS
 ) -> np.ndarray:
     """Ink bitmap {0,1} -> line mask {0,1}: one solid component per text line.
 

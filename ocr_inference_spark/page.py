@@ -41,7 +41,7 @@ from .kernels.dewarp import (
     fit_page_shift,
 )
 from .kernels.linecrop import extract_line_images
-from .kernels.morphology import line_segmentation_mask
+from .kernels.morphology import H_RADIUS, V_RADIUS, line_segmentation_mask
 from .kernels.reading_order import sort_lines_by_threshold
 from .model import RecognitionSession
 
@@ -79,7 +79,7 @@ def detect_page(content: bytes) -> dict:
                 "width": 0, "height": 0}
     ink = binarize(gray)
     mask, comps = _detect(ink)
-    line_comps = filter_line_contours(comps, ink.shape[1])
+    line_comps = filter_line_contours(comps, ink.shape[1], deflate_w=H_RADIUS, deflate_h=V_RADIUS)
     ordered, _ = sort_lines_by_threshold(line_comps, mask.shape)
     return {
         "status": "success",
@@ -114,7 +114,7 @@ def process_page(
 
         # stage 3: dewarp gate + fit on analytically-deskewed geometry
         # (reference: BDRC/inference.py:535-589)
-        line_comps = filter_line_contours(comps, width)
+        line_comps = filter_line_contours(comps, width, deflate_w=H_RADIUS, deflate_h=V_RADIUS)
         ratio, _dys = distortion_ratio(line_comps, base)
         applied = ratio > TPS_THRESHOLD and bool(line_comps)
         total = base
@@ -124,7 +124,7 @@ def process_page(
         if total is not None:
             ink = apply_column_shift(ink, total)
             mask, comps = _detect(ink)
-            line_comps = filter_line_contours(comps, width)
+            line_comps = filter_line_contours(comps, width, deflate_w=H_RADIUS, deflate_h=V_RADIUS)
 
         # stage 4: reading order + extraction
         ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)

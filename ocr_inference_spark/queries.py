@@ -267,7 +267,7 @@ def q10_topk_orders_per_customer(spark, sf_dir):
             "o_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "rn",
+            F.col("rn").cast("long").alias("rn"),
         )
     )
 
@@ -423,7 +423,7 @@ def q17_clean_hash(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.md5(clean).alias("text_md5"),
-        F.length(clean).alias("clean_len"),
+        F.length(clean).cast("long").alias("clean_len"),
     )
 
 
@@ -520,9 +520,9 @@ def q22_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        tx.token_count(F.col("text")).alias("ws_tokens"),
-        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
-        F.length("text").alias("n_chars"),
+        tx.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 

@@ -57,6 +57,7 @@ def render_page(
     skew_deg: float = 0.0,
     warp_amp: int = 0,
     warp_period: int | None = None,
+    noise: bool = False,
 ) -> np.ndarray:
     """Known text lines -> uint8 grayscale page image (dark ink on paper).
 
@@ -85,6 +86,18 @@ def render_page(
     for band in bands:
         ink[y : y + BAND_H, margin : margin + band.shape[1]] = band
         y += BAND_H + spacing
+    if noise:
+        # non-content page furniture — the analogue of the reference's
+        # margin / header / pagenr layout classes (Config.py:37-48),
+        # which the pipeline must strip (BDRC/inference.py:499-505
+        # selects only the `line` channel). Sub-line-height/width by
+        # construction, so the line-size filter (F2) discards them the
+        # way the reference's class selection + area filters do.
+        # offsets keep the three elements farther apart than the
+        # segmentation closing radii, so they stay separate components
+        ink[26:, 2:4] = 1                                  # margin rule (vertical)
+        ink[2:5, 30:] = 1                                  # header rule
+        ink[height - 14 : height - 6, width - 20 : width - 6] = 1  # page number blob
     if s.any():
         # shift DOWN by s(x): apply_column_shift moves columns up by
         # +shift, so pass the negated values
