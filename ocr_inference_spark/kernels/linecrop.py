@@ -43,14 +43,24 @@ def extract_line(
 ) -> np.ndarray:
     """Crop the component's band from the ink bitmap with vertical slack
     ``k_factor * bbox_h`` (the dilation-kernel analogue of extract_line,
-    BDRC/line_detection.py:267-288), then tight-crop."""
+    BDRC/line_detection.py:267-288), masked to the component's own
+    region — the bitwise_and(image, line_mask) step of the reference's
+    mask_n_crop (BDRC/line_detection.py:79-104), which keeps a
+    neighbouring line's ink out of the crop when warped bbox ranges
+    overlap — then tight-crop."""
     h, w = ink.shape
     slack = int(round(comp.h * max(k_factor - 1.0, 0.0) / 2.0))
     y0 = max(comp.y - slack, 0)
     y1 = min(comp.y + comp.h + slack, h)
     x0 = max(comp.x, 0)
     x1 = min(comp.x + comp.w, w)
-    return mask_n_crop(ink[y0:y1, x0:x1])
+    window = ink[y0:y1, x0:x1]
+    region = np.zeros_like(window)
+    for row, rx0, rx1 in comp.runs:
+        ry = row - y0
+        if 0 <= ry < region.shape[0]:
+            region[ry, max(rx0 - x0, 0) : max(rx1 - x0, 0)] = 1
+    return mask_n_crop(window * region)
 
 
 def get_line_image(
