@@ -41,12 +41,40 @@ def greedy_decode(logits: np.ndarray) -> tuple[np.ndarray, float]:
 
 
 def beam_decode(
-    logits: np.ndarray, beam_width: int = BEAM_WIDTH, top_k: int = TOP_K_BEAMS
+    logits: np.ndarray,
+    beam_width: int = BEAM_WIDTH,
+    top_k: int = TOP_K_BEAMS,
+    lm: dict[tuple[int, ...], float] | None = None,
+    lm_alpha: float = 0.8,
+    space_id: int | None = None,
 ) -> list[tuple[tuple[int, ...], float]]:
     """Prefix beam search. Returns up to ``top_k`` (sequence, log-prob)
-    pairs, best first. Deterministic: ties broken by sequence."""
+    pairs, best first. Deterministic: ties broken by sequence.
+
+    ``lm`` enables shallow LM fusion (the KenLM hook of the reference,
+    BDRC/inference.py:95-106,386-398): a unigram table mapping a word
+    (tuple of char ids) to a log-prob, applied with weight ``lm_alpha``
+    whenever a word completes at ``space_id``; unseen words receive the
+    table's floor (min score - 2). The LM term biases pruning and the
+    final ranking but the reported score stays acoustic+LM, matching
+    shallow-fusion semantics.
+    """
     logp = log_softmax(logits)
     T, V = logp.shape
+    floor = (min(lm.values()) - 2.0) if lm else 0.0
+
+    def lm_word_score(prefix: tuple[int, ...]) -> float:
+        """Score of the word ending at prefix's tail (called at a space)."""
+        if not lm:
+            return 0.0
+        j = len(prefix)
+        while j > 0 and prefix[j - 1] != space_id:
+            j -= 1
+        word = prefix[j:]
+        if not word:
+            return 0.0
+        return lm_alpha * lm.get(word, floor)
+
     # beams: prefix -> (logp ending in blank, logp ending in non-blank)
     beams: dict[tuple[int, ...], tuple[float, float]] = {(): (0.0, -math.inf)}
     for t in range(T):
@@ -63,6 +91,8 @@ def beam_decode(
             add(prefix, total + frame[BLANK], -math.inf)
             for c in range(1, V):
                 p = frame[c]
+                if lm and space_id is not None and c == space_id:
+                    p = p + lm_word_score(prefix)
                 if prefix and prefix[-1] == c:
                     # same char: repeat (no growth) or after-blank (growth)
                     add(prefix, -math.inf, pnb + p)
@@ -74,11 +104,30 @@ def beam_decode(
             key=lambda kv: (-np.logaddexp(kv[1][0], kv[1][1]), kv[0]),
         )[:beam_width]
         beams = dict(pruned)
+
+    def final_score(prefix, pb, pnb) -> float:
+        s = float(np.logaddexp(pb, pnb))
+        if lm and space_id is not None:
+            s += lm_word_score(prefix)  # close the trailing word
+        return s
+
     final = sorted(
-        ((prefix, float(np.logaddexp(pb, pnb))) for prefix, (pb, pnb) in beams.items()),
+        ((prefix, final_score(prefix, pb, pnb)) for prefix, (pb, pnb) in beams.items()),
         key=lambda kv: (-kv[1], kv[0]),
     )
     return final[:top_k]
+
+
+def build_unigram_lm(word_counts: dict[str, int], encode) -> dict[tuple[int, ...], float]:
+    """Word frequency table -> {char-id tuple: log-prob} for shallow
+    fusion. ``encode`` maps a word string to char ids (glyphs.encode_text).
+    The table is tiny and broadcast-friendly (the reference ships its
+    KenLM file to every worker the same way, BDRC/utils.py:105-159)."""
+    total = sum(word_counts.values())
+    return {
+        tuple(int(i) for i in encode(w)): math.log(c / total)
+        for w, c in word_counts.items()
+    }
 
 
 def ctc_confidence(logit_score: float, text_len: int) -> float:

@@ -56,3 +56,34 @@ def test_confidence():
     assert ctc_confidence(0.0, 5) == 1.0
     assert ctc_confidence(-2.0, 2) == math.exp(-1.0)
     assert ctc_confidence(-1.0, 0) == 0.0
+
+
+def test_lm_fusion_reranks_ambiguous_word():
+    from ocr_inference_spark.kernels.ctc import beam_decode, build_unigram_lm
+
+    # vocab: 0=blank, 1='a', 2='b', 3=' '
+    SP = 3
+    # frames spell "a? " where frame 1 is ambiguous between 'a'(1) and 'b'(2)
+    logits = np.full((4, 4), -10.0)
+    logits[0, 1] = 10.0
+    logits[1, 1] = 1.0
+    logits[1, 2] = 1.2  # acoustically prefers 'b'
+    logits[2, 0] = 10.0
+    logits[3, SP] = 10.0
+    no_lm = beam_decode(logits, beam_width=16, top_k=3)
+    assert no_lm[0][0] == (1, 2, SP)  # "ab "
+    lm = build_unigram_lm(
+        {"a": 99, "ab": 1}, lambda w: [1 if ch == "a" else 2 for ch in w]
+    )
+    with_lm = beam_decode(logits, beam_width=16, top_k=3, lm=lm, lm_alpha=2.0, space_id=SP)
+    assert with_lm[0][0] == (1, SP)  # LM flips to "a "
+
+
+def test_lm_fusion_no_space_is_noop_on_best_path():
+    from ocr_inference_spark.kernels.ctc import beam_decode
+
+    logits = _logits_for_path([1, 0, 2])
+    a = beam_decode(logits, beam_width=8, top_k=1)
+    b = beam_decode(logits, beam_width=8, top_k=1, lm={(1,): -0.5}, space_id=3)
+    # no space emitted and no trailing word in LM -> same best sequence
+    assert a[0][0] == b[0][0]
