@@ -84,14 +84,41 @@ def get_line_image(
     return np.zeros((1, 1), dtype=ink.dtype), 1.0
 
 
+def local_rectify(line_img: np.ndarray) -> np.ndarray:
+    """Per-line rectification (the reference's TPSMode.LOCAL,
+    get_line_images_via_local_tps, BDRC/image_dewarping.py:292-342):
+    flatten the line's own baseline by shifting each column up to align
+    its first ink row, then tight-crop."""
+    if line_img.size == 0 or not line_img.any():
+        return line_img
+    any_ink = line_img.any(axis=0)
+    first = line_img.argmax(axis=0)
+    base = int(first[any_ink].min())
+    shift = np.where(any_ink, first - base, 0).astype(np.int64)
+    h, w = line_img.shape
+    ys = np.arange(h, dtype=np.int64)[:, None] + shift[None, :]
+    inside = ys < h
+    np.clip(ys, 0, h - 1, out=ys)
+    out = line_img[ys, np.arange(w)[None, :]]
+    out *= inside
+    return mask_n_crop(out)
+
+
 def extract_line_images(
-    ink: np.ndarray, comps: list[Component], k_factor: float = DEFAULT_K_FACTOR
+    ink: np.ndarray,
+    comps: list[Component],
+    k_factor: float = DEFAULT_K_FACTOR,
+    local_tps: bool = False,
 ) -> list[np.ndarray]:
     """Sequential extraction carrying the adapted k to the next line
-    (reference: extract_line_images, BDRC/line_detection.py:330-359)."""
+    (reference: extract_line_images, BDRC/line_detection.py:330-359).
+    ``local_tps`` applies per-line rectification instead of relying on a
+    prior global dewarp (reference: TPSMode.LOCAL, data.py:74-78)."""
     out: list[np.ndarray] = []
     k = k_factor
     for comp in comps:
         img, k = get_line_image(ink, comp, k)
+        if local_tps:
+            img = local_rectify(img)
         out.append(img)
     return out

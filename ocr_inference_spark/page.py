@@ -93,8 +93,15 @@ def detect_page(content: bytes) -> dict:
 
 
 def process_page(
-    content: bytes, session: RecognitionSession, eval_mode: bool = False
+    content: bytes,
+    session: RecognitionSession,
+    eval_mode: bool = False,
+    tps_mode: str = "global",
 ) -> PageResult:
+    """``tps_mode``: 'global' applies the page-level polynomial
+    rectification (apply_global_tps analogue); 'local' skips it and
+    rectifies each extracted line individually (TPSMode.LOCAL,
+    BDRC/data.py:74-78; get_line_images_via_local_tps)."""
     try:
         gray = to_gray(png_decode(content))
     except Exception as exc:  # malformed media payload -> failed row
@@ -116,7 +123,7 @@ def process_page(
         # (reference: BDRC/inference.py:535-589)
         line_comps = filter_line_contours(comps, width, deflate_w=H_RADIUS, deflate_h=V_RADIUS)
         ratio, _dys = distortion_ratio(line_comps, base)
-        applied = ratio > TPS_THRESHOLD and bool(line_comps)
+        applied = ratio > TPS_THRESHOLD and bool(line_comps) and tps_mode == "global"
         total = base
         if applied:
             s2 = fit_page_shift(line_comps, width, base_shift=base)
@@ -128,7 +135,7 @@ def process_page(
 
         # stage 4: reading order + extraction
         ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
-        line_imgs = extract_line_images(ink, ordered)
+        line_imgs = extract_line_images(ink, ordered, local_tps=tps_mode == "local")
 
         # stage 5: recognition (eval_mode switches to beam decode with
         # top-k + confidences, cf. run_text_recognition_eval,

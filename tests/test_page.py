@@ -59,3 +59,19 @@ def test_doubled_chars_roundtrip():
     lines = ["aabb ccdd", "zzz 1100"]
     res = process_page(png_encode(render_page(lines)), SESSION)
     assert res.texts == lines
+
+
+def test_local_tps_mode():
+    """TPSMode.LOCAL: per-line rectification instead of global dewarp.
+
+    Like the reference (which sorts lines BEFORE its local TPS,
+    BDRC/inference.py:591-616), local mode leaves reading-order grouping
+    on warped geometry, so the cases here keep the warp within grouping
+    tolerance; the global mode covers the extreme-warp fixtures."""
+    for kw in ({"warp_amp": 36, "warp_period": 250}, {"warp_amp": 48, "warp_period": 200}, {}):
+        res = process_page(
+            png_encode(render_page(LINES, **kw)), SESSION, tps_mode="local"
+        )
+        assert res.status == "success"
+        assert res.texts == LINES
+        assert res.dewarp_applied is False  # global warp never applied
