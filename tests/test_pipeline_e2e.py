@@ -133,3 +133,30 @@ def test_resume_from_checkpoint(spark, tmp_path):
     assert len(out) == len(expected)  # no duplicates
     for exp in expected:
         assert _tuples(out[exp["doc_id"]]) == _tuples(exp["spans"])
+
+
+def test_orphan_media_ref_survives(spark):
+    """A media span whose page is missing from the sidecar table keeps
+    its place in the output span sequence (join miss, no derived lines)."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.schemas import DOCUMENTS_SCHEMA, PAGES_SCHEMA
+
+    docs_df = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d1",
+                spans=[
+                    Row(kind="media", text=None, media_ref="missing_page", offset=0),
+                    Row(kind="text", text="tail", media_ref=None, offset=1),
+                ],
+            )
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    pages_df = spark.createDataFrame([], schema=PAGES_SCHEMA)
+    out = extract_spans(spark, docs_df, pages_df).collect()
+    assert _tuples(out[0]["spans"]) == [
+        ("media", None, "missing_page", 0),
+        ("text", "tail", None, 1),
+    ]
