@@ -154,6 +154,44 @@ def minhash_lsh_pairs(
     return out
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
+    cosine >= threshold.
+
+    n_planes=0 compares all pairs (exact — the oracle-checkable
+    baseline); n_planes>0 blocks candidates by hyperplane-LSH bucket
+    first (the 10^12-row scale path — near-identical vectors share
+    buckets with overwhelming probability)."""
+    from .similarity import _dot, _norm, lsh_bucket
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    if n_planes > 0:
+        base = base.withColumn("bucket", lsh_bucket(F.col("v"), n_planes, dim))
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if n_planes > 0:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 64-bit SimHash over whitespace tokens.
 

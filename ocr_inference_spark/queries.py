@@ -753,6 +753,23 @@ FROM documents
 """
 
 
+def q35_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+ORACLE_Q35 = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.e, b.e) /
+    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+"""
+
+
 def q34_detect_lines(spark, sf_dir):
     """EP3 detection-only path over synthesized pages (rows-only)."""
     from .pipeline import detect_lines
@@ -800,6 +817,7 @@ QUERIES = {
     "q32_cer": q32_cer,
     "q33_encoding_roundtrip": q33_encoding_roundtrip,
     "q34_detect_lines": q34_detect_lines,
+    "q35_embedding_near_dup": q35_embedding_near_dup,
 }
 
 ORACLES = {
@@ -832,6 +850,7 @@ ORACLES = {
     "q29_tumbling_window": ORACLE_Q29,
     "q32_cer": ORACLE_Q32,
     "q33_encoding_roundtrip": ORACLE_Q33,
+    "q35_embedding_near_dup": ORACLE_Q35,
     # q26/q28/q30/q31/q34: intentionally no oracle (engine-specific
     # hashes / non-SQL-expressible kernels) — rows-only checks.
 }
