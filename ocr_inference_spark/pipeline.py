@@ -101,18 +101,106 @@ def recognize_pages(
     docs_df: DataFrame,
     pages_df: DataFrame,
     n_partitions: int | None = None,
+    repartition: bool = True,
 ) -> DataFrame:
-    """Media spans -> per-line OCR rows (OCR_LINES_SCHEMA)."""
+    """Media spans -> per-line OCR rows (OCR_LINES_SCHEMA).
+
+    ``repartition=True`` (default) forces an explicit hash exchange on
+    media_ref ahead of the kernel: page-granular distribution (a hot
+    multi-page document cannot skew a partition) at a partition count
+    AQE will not coalesce — important because AQE sizes partitions by
+    bytes, not the CPU cost that dominates this stage. At full corpus
+    scale, where the pages join is itself a shuffle join keyed on
+    media_ref, pass ``repartition=False`` so the kernel reuses the
+    join's partitioning and the page bytes cross the network once, not
+    twice.
+    """
     weight_bc = spark.sparkContext.broadcast(serialize_weights())
     media = media_spans(docs_df)
     joined = media.join(pages_df.select("media_ref", "content"), "media_ref")
-    if n_partitions is None:
-        # 4 waves per core: variable per-page cost (deskew/dewarp redetects)
-        # balances out without a long straggler tail
-        n_partitions = spark.sparkContext.defaultParallelism * 4
-    # page-granular distribution: one hot document cannot skew a partition
-    joined = joined.repartition(n_partitions, "media_ref")
+    if repartition:
+        if n_partitions is None:
+            # 4 waves per core: variable per-page cost (deskew/dewarp
+            # redetects) balances out without a long straggler tail
+            n_partitions = spark.sparkContext.defaultParallelism * 4
+        joined = joined.repartition(n_partitions, "media_ref")
     return joined.mapInPandas(_make_ocr_kernel(weight_bc), schema=OCR_LINES_SCHEMA)
+
+
+# reference OCR-lines schema (save_ocr_lines_parquet, BDRC/utils.py:1273-1285);
+# guid is a deterministic content hash (uuid1 is wall-clock-dependent,
+# SURVEY.md §7 "determinism")
+OCR_LINES_EVAL_SCHEMA = (
+    "guid string, doc_id string, media_ref string, line_rank int,"
+    " text string, encoding string, ctc_conf float, norm_logp float,"
+    " n_beams short, logits array<float>, lm_scores array<float>"
+)
+
+
+def recognize_pages_eval(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    pages_df: DataFrame,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Eval-mode recognition: beam decode with top-k, emitting the
+    reference's OCR-lines row shape (guid/text/encoding/ctc_conf/
+    norm_logp/n_beams/logits/lm_scores — BDRC/utils.py:1273-1285;
+    run_text_recognition_eval, BDRC/inference.py:668-726)."""
+    import hashlib
+
+    weight_bc = spark.sparkContext.broadcast(serialize_weights())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernels.ctc import ctc_confidence
+        from .page import process_page
+
+        session = get_session(weight_bc.value)
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "guid", "doc_id", "media_ref", "line_rank", "text",
+                    "encoding", "ctc_conf", "norm_logp", "n_beams",
+                    "logits", "lm_scores",
+                )
+            }
+            for doc_id, media_ref, content in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"]
+            ):
+                res = process_page(bytes(content), session, eval_mode=True)
+                if res.status != "success":
+                    continue
+                for rank, (text, conf, beams) in enumerate(
+                    zip(res.texts, res.confs, res.beams)
+                ):
+                    guid = hashlib.md5(
+                        f"{doc_id}/{media_ref}/{rank}/{text}".encode()
+                    ).hexdigest()
+                    best_lp = beams[0][1]
+                    rows["guid"].append(guid)
+                    rows["doc_id"].append(doc_id)
+                    rows["media_ref"].append(media_ref)
+                    rows["line_rank"].append(rank)
+                    rows["text"].append(text)
+                    rows["encoding"].append("UNICODE")
+                    rows["ctc_conf"].append(conf)
+                    rows["norm_logp"].append(
+                        best_lp / max(len(text), 1)
+                    )
+                    rows["n_beams"].append(len(beams))
+                    rows["logits"].append([lp for _, lp in beams])
+                    rows["lm_scores"].append(
+                        [ctc_confidence(lp, max(len(t), 1)) for t, lp in beams]
+                    )
+            yield pd.DataFrame(rows)
+
+    media = media_spans(docs_df)
+    joined = media.join(pages_df.select("media_ref", "content"), "media_ref")
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+    joined = joined.repartition(n_partitions, "media_ref")
+    return joined.mapInPandas(kernel, schema=OCR_LINES_EVAL_SCHEMA)
 
 
 def reassemble_spans(docs_df: DataFrame, ocr_df: DataFrame) -> DataFrame:

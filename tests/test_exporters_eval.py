@@ -100,3 +100,30 @@ def test_encoding_roundtrip(spark):
     for r in out:
         assert r["rt"] == r["t"]
         assert r["tr"] != r["t"]
+
+
+def test_recognize_pages_eval_schema(spark):
+    from ocr_inference_spark.exporters import ocr_lines_to_parquet
+    from ocr_inference_spark.fixtures import build_corpus, corpus_to_spark
+    from ocr_inference_spark.pipeline import recognize_pages_eval
+
+    documents, pages, expected = build_corpus(n_docs=3, seed=5, pecha_docs=0)
+    docs_df, pages_df = corpus_to_spark(spark, documents, pages)
+    df = recognize_pages_eval(spark, docs_df, pages_df)
+    rows = df.collect()
+    want_texts = sorted(
+        s["text"]
+        for e in expected
+        for s in e["spans"]
+        if s["kind"] == "text" and s["media_ref"] is not None
+    )
+    assert sorted(r["text"] for r in rows) == want_texts
+    for r in rows:
+        assert len(r["guid"]) == 32
+        assert r["encoding"] == "UNICODE"
+        assert 1 <= r["n_beams"] <= 10
+        assert len(r["logits"]) == r["n_beams"]
+        assert 0 < r["ctc_conf"] <= 1
+    # deterministic guids: rerun produces the identical set
+    again = {r["guid"] for r in recognize_pages_eval(spark, docs_df, pages_df).collect()}
+    assert again == {r["guid"] for r in rows}
