@@ -57,46 +57,45 @@ def run_resumable(
 ) -> None:
     """Process only unfinished buckets; append metrics; idempotent output.
 
-    Output layout: ``output_path`` partitioned by bucket(doc_id)'s pages
-    — each row is one document's ordered span sequence for documents
-    whose media fall in the processed buckets. Documents are assigned
-    to the bucket of their *first* media span (doc granularity for the
-    sink; page granularity for compute).
+    Work, metrics and the output sink all share ONE bucketing —
+    ``pmod(xxhash64(doc_id), n_buckets)`` — so every output partition a
+    run overwrites is exactly a set of fully-recomputed documents (a
+    mixed granularity would let a partial rerun clobber sibling rows).
+    Compute skew inside a bucket is not a concern: recognize_pages
+    re-distributes its input at page granularity (media_ref) regardless,
+    so a 784-page document still spreads across the cluster.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t0 = time.monotonic()
 
-    media = media_spans(docs_df).withColumn("bucket", bucket_of(F.col("media_ref"), n_buckets))
+    docs_b = docs_df.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
     done = completed_buckets(spark, metrics_path, job_id)
     # prune finished work before any page bytes are read (broadcast anti-join)
-    todo_media = media.join(F.broadcast(done), "bucket", "left_anti")
+    todo_docs = docs_b.join(F.broadcast(done), "bucket", "left_anti")
 
-    # docs whose media are all in finished buckets need no recompute;
-    # text-only documents (no media at all) are always (re-)emitted —
-    # they cost no page decode and keep the rule simple and idempotent
-    has_media = media.select("doc_id").distinct()
-    text_only_docs = docs_df.join(has_media, "doc_id", "left_anti")
-    todo_docs = docs_df.join(
-        todo_media.select("doc_id").distinct(), "doc_id", "left_semi"
-    ).unionByName(text_only_docs)
-
-    ocr = recognize_pages(spark, todo_docs, pages_df)
-    ocr = ocr.withColumn("bucket", bucket_of(F.col("media_ref"), n_buckets))
+    ocr = recognize_pages(spark, todo_docs.drop("bucket"), pages_df)
     ocr.cache()
 
-    out = reassemble_spans(todo_docs, ocr.drop("bucket"))
+    out = reassemble_spans(todo_docs.drop("bucket"), ocr)
     out_bucketed = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
     out_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 
     duration_ms = (time.monotonic() - t0) * 1000.0
-    metrics = (
-        ocr.groupBy("bucket")
+    doc_counts = (
+        todo_docs.groupBy("bucket").agg(F.count("*").alias("docs"))
+    )
+    ocr_counts = (
+        ocr.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        .groupBy("bucket")
         .agg(
-            F.countDistinct("doc_id").alias("docs"),
             F.countDistinct("media_ref").alias("pages"),
             F.sum(F.when(F.col("line_rank") >= 0, 1).otherwise(0)).alias("lines"),
             F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
         )
+    )
+    metrics = (
+        doc_counts.join(ocr_counts, "bucket", "left_outer")
+        .na.fill(0, ["pages", "lines", "chars"])
         .withColumn("job_id", F.lit(job_id))
         .withColumn("status", F.lit("success"))
         .withColumn("stage", F.lit("ocr+reassemble"))

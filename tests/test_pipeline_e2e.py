@@ -95,9 +95,7 @@ def test_failed_page_keeps_document(spark):
 
 
 def test_resume_from_checkpoint(spark, tmp_path):
-    from pyspark.sql import functions as F
-
-    from ocr_inference_spark.checkpoint import bucket_of, run_resumable
+    from ocr_inference_spark.checkpoint import run_resumable
 
     documents, pages, expected = build_corpus(n_docs=8, seed=11)
     docs_df, pages_df = corpus_to_spark(spark, documents, pages)
@@ -105,34 +103,35 @@ def test_resume_from_checkpoint(spark, tmp_path):
     metrics_path = str(tmp_path / "metrics")
     n_buckets = 4
 
-    # --- simulate a partial run: pretend bucket 0 already completed ---
-    media = media_spans(docs_df).withColumn(
-        "bucket", bucket_of(F.col("media_ref"), n_buckets)
-    )
+    def check_complete():
+        out = {r["doc_id"]: r["spans"] for r in spark.read.parquet(out_path).collect()}
+        assert len(out) == len(expected)  # no duplicates, no missing docs
+        for exp in expected:
+            assert _tuples(out[exp["doc_id"]]) == _tuples(exp["spans"])
+
+    # --- full run under job1 -> complete exact output ---
+    run_resumable(spark, docs_df, pages_df, out_path, metrics_path, "job1", n_buckets)
+    m = spark.read.parquet(metrics_path)
+    done = {r["bucket"] for r in m.where("job_id = 'job1'").collect()}
+    assert done == set(range(n_buckets))
+    check_complete()
+
+    # --- rerun same job id: everything checkpointed -> output untouched
+    # (the dynamic overwrite must not clobber completed buckets) ---
+    run_resumable(spark, docs_df, pages_df, out_path, metrics_path, "job1", n_buckets)
+    check_complete()
+
+    # --- partial resume under job2: bucket 0 pre-marked done; the rerun
+    # recomputes only buckets 1..3 and must leave job1's bucket-0 output
+    # partition intact ---
     fake = spark.createDataFrame(
-        [("job1", 0, 0, 0, 0, 0, "success", "ocr+reassemble", 0.0, None)],
+        [("job2", 0, 0, 0, 0, 0, "success", "ocr+reassemble", 0.0, None)],
         schema="job_id string, bucket int, docs long, pages long, lines long,"
         " chars long, status string, stage string, duration_ms double, ts timestamp",
     )
-    fake.write.mode("overwrite").parquet(metrics_path)
-
-    run_resumable(
-        spark, docs_df, pages_df, out_path, metrics_path, "job1", n_buckets
-    )
-    m = spark.read.parquet(metrics_path)
-    done = {r["bucket"] for r in m.where("status = 'success'").collect()}
-    # resumed run processed the remaining buckets (and possibly re-touched
-    # bucket 0's pages for multi-bucket docs, which is fine/idempotent)
-    assert done.issuperset({0})
-
-    # --- full rerun under a fresh job id gives complete, exact output ---
-    run_resumable(
-        spark, docs_df, pages_df, out_path, metrics_path, "job2", n_buckets
-    )
-    out = {r["doc_id"]: r["spans"] for r in spark.read.parquet(out_path).collect()}
-    assert len(out) == len(expected)  # no duplicates
-    for exp in expected:
-        assert _tuples(out[exp["doc_id"]]) == _tuples(exp["spans"])
+    fake.write.mode("append").parquet(metrics_path)
+    run_resumable(spark, docs_df, pages_df, out_path, metrics_path, "job2", n_buckets)
+    check_complete()
 
 
 def test_orphan_media_ref_survives(spark):
