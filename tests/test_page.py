@@ -75,3 +75,15 @@ def test_local_tps_mode():
         assert res.status == "success"
         assert res.texts == LINES
         assert res.dewarp_applied is False  # global warp never applied
+
+
+def test_blank_page_yields_no_lines():
+    import numpy as np
+
+    from ocr_inference_spark.imgcodec import png_encode as enc
+
+    blank = np.full((200, 300), 235, dtype=np.uint8)
+    res = process_page(enc(blank), SESSION)
+    assert res.texts == []
+    assert res.n_lines == 0
+    assert res.status == "success"

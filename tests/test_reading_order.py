@@ -57,3 +57,29 @@ def test_merge_row_unions():
     merged = merge_row(comps)
     assert merged.area == sum(c.area for c in comps)
     assert merged.w >= max(c.w for c in comps)
+
+
+def test_sort_bbox_centers_properties():
+    """Property: output is a permutation of the input; within a row the
+    x-order is ascending."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 500), st.integers(0, 500)),
+            min_size=0,
+            max_size=25,
+        ),
+        st.integers(1, 60),
+    )
+    def prop(centers, thr):
+        rows = sort_bbox_centers(centers, line_threshold=float(thr))
+        flat = [c for row in rows for c in row]
+        assert sorted(flat) == sorted(centers)  # permutation
+        for row in rows:
+            xs = [c[0] for c in row]
+            assert xs == sorted(xs)
+
+    prop()
