@@ -12,19 +12,41 @@ DuckDB results hash-identical.
 
 from __future__ import annotations
 
+import os
+import shutil
 import sys
+import tempfile
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ocr_inference_spark importable inside executor Python workers
+    regardless of the driver process's CWD: zip the package once and
+    addPyFile it (exactly what spark-submit --py-files does)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    base = os.path.join(tempfile.gettempdir(), f"ocr_inference_spark_pkg_{os.getpid()}")
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(base, "zip", root_dir=str(_REPO), base_dir="ocr_inference_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app_id)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full OCR span
     extraction — documents + rendered pages -> ordered span sequences,
     exploded to one row per span (stable flat schema)."""
+    _ship_package(spark)
     from ocr_inference_spark.queries import q30_ocr_extract_spans
 
     return q30_ocr_extract_spans(spark, "/root/testdata/sf0.001")
@@ -33,7 +55,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_inference_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        runner.__name__ = fn.__name__
+        runner.__doc__ = fn.__doc__
+        return runner
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
