@@ -40,4 +40,25 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_self(spark)
     return spark
+
+
+def _ship_self(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (addPyFile), so jobs
+    built on get_spark() work regardless of the driver process CWD —
+    the programmatic equivalent of spark-submit --py-files."""
+    import shutil
+    import tempfile
+
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        base = os.path.join(
+            tempfile.gettempdir(), f"ocr_inference_spark_self_{os.getpid()}"
+        )
+        zip_path = base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(base, "zip", root_dir=repo, base_dir="ocr_inference_spark")
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already shipped or running from a --py-files deployment
