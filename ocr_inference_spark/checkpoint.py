@@ -4,11 +4,12 @@ Mirrors the reference's job-directory + audit-log practice
 (ArtifactManager job dirs, BDRC/artifact_manager.py:23-45; AuditLogger
 stage records, BDRC/audit_logger.py:46-58) with a relational design:
 
-- work is bucketed by ``pmod(xxhash64(media_ref), n_buckets)`` — a
+- work is bucketed by ``pmod(xxhash64(doc_id), n_buckets)`` — a
   deterministic function of the data, so a rerun derives the same
   buckets;
-- each completed bucket appends one metrics row (job_id, bucket, docs,
-  pages, lines, chars, status, stage, duration_ms, ts);
+- each completed bucket appends one metrics row (job_id, bucket,
+  n_buckets, docs, pages, lines, chars, status, stage, duration_ms,
+  ts); the recorded n_buckets guards resumes against a modulus change;
 - the output is written ``partitionBy(bucket)`` with dynamic partition
   overwrite, so re-processing a bucket is idempotent;
 - resume = anti-join the input's buckets against completed metrics rows
@@ -46,6 +47,35 @@ def completed_buckets(spark: SparkSession, metrics_path: str, job_id: str) -> Da
     )
 
 
+def _validate_n_buckets(
+    spark: SparkSession, metrics_path: str, job_id: str, n_buckets: int
+) -> None:
+    """Fail fast if this job_id was previously run with a different
+    bucketing modulus: completed bucket NUMBERS computed under another
+    modulus would silently skip some documents and re-key others, so the
+    dynamic partition overwrite no longer replaces their old copies."""
+    try:
+        m = spark.read.schema(METRICS_SCHEMA).parquet(metrics_path)
+    except Exception:
+        return
+    seen = [
+        r[0]
+        for r in m.where(F.col("job_id") == job_id)
+        .select("n_buckets")
+        .where(F.col("n_buckets").isNotNull())
+        .distinct()
+        .collect()  # metrics table is tiny (<= n_buckets rows per job)
+    ]
+    bad = [v for v in seen if v != n_buckets]
+    if bad:
+        raise ValueError(
+            f"job {job_id!r} has checkpoints recorded with n_buckets="
+            f"{sorted(set(bad))}; resuming with n_buckets={n_buckets} would "
+            "mismatch bucket numbers (skipped/duplicated documents). Rerun "
+            "with the original value or use a new job_id."
+        )
+
+
 def run_resumable(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -66,6 +96,7 @@ def run_resumable(
     so a 784-page document still spreads across the cluster.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _validate_n_buckets(spark, metrics_path, job_id, n_buckets)
     t0 = time.monotonic()
 
     docs_b = docs_df.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
@@ -97,6 +128,7 @@ def run_resumable(
         doc_counts.join(ocr_counts, "bucket", "left_outer")
         .na.fill(0, ["pages", "lines", "chars"])
         .withColumn("job_id", F.lit(job_id))
+        .withColumn("n_buckets", F.lit(n_buckets))
         .withColumn("status", F.lit("success"))
         .withColumn("stage", F.lit("ocr+reassemble"))
         .withColumn("duration_ms", F.lit(duration_ms))

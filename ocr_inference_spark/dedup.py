@@ -88,13 +88,17 @@ def jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, n_perm: int = 32
 ) -> DataFrame:
-    """(id, perm, minhash): per-permutation minimum of seeded xxhash64
-    over the document's shingles. Permutations come from hashing the
-    shingle together with a literal seed column — one narrow shuffle."""
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    expanded = sh.select("id", "shingle", perms)
-    return expanded.groupBy("id", "perm").agg(
-        F.min(F.xxhash64("shingle", "perm")).alias("minhash")
+    """(id, sig: array<long>) — per-permutation minimum of seeded
+    xxhash64 over the document's shingles, all ``n_perm`` minimums
+    computed as separate aggregate columns in ONE pass over the
+    un-exploded shingle relation. (An explode of the permutation index
+    would multiply shuffle volume by n_perm for the same result.)"""
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(p))).alias(f"m{p}") for p in range(n_perm)
+    ]
+    wide = sh.groupBy("id").agg(*mins)
+    return wide.select(
+        "id", F.array(*[F.col(f"m{p}") for p in range(n_perm)]).alias("sig")
     )
 
 
@@ -117,13 +121,27 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_perm // bands
     sh = char_shingles(df, id_col, text_col, k).cache()
-    sig = minhash_signatures(sh, n_perm).withColumn(
-        "band", (F.col("perm") / rows_per_band).cast("int")
-    )
-    band_key = sig.groupBy("id", "band").agg(
-        F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
-            "bucket"
-        )
+    sig = minhash_signatures(sh, n_perm)
+    # band key = hash of that band's slice of the signature; derived from
+    # the wide signature row with a cheap posexplode of `bands` small
+    # arrays per id — no per-permutation shuffle.
+    band_key = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.sort_array(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
     a = band_key.alias("a")
     b = band_key.alias("b")
@@ -161,35 +179,84 @@ def embedding_near_dup(
     threshold: float = 0.9,
     n_planes: int = 0,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
     cosine >= threshold.
 
     n_planes=0 compares all pairs (exact — the oracle-checkable
-    baseline); n_planes>0 blocks candidates by hyperplane-LSH bucket
-    first (the 10^12-row scale path — near-identical vectors share
-    buckets with overwhelming probability)."""
-    from .similarity import _dot, _norm, lsh_bucket
+    baseline, O(n²), small-n only); n_planes>0 is the 10^12-row scale
+    path: candidates are blocked by ``n_tables`` independent
+    hyperplane-LSH tables via an exploded (table, bucket) EQUI-join
+    (hash-join-plannable — never a nested-loop pair scan), deduped, then
+    exact-cosine verified. Multi-table blocking recovers near pairs a
+    single table splits across a plane."""
+    from .similarity import _dot, _norm, _hyperplane_sign
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", _norm(F.col("v")))
-    if n_planes > 0:
-        base = base.withColumn("bucket", lsh_bucket(F.col("v"), n_planes, dim))
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if n_planes > 0:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(
-            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-        ).alias("cosine"),
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)  # cosine undefined for zero vectors
     )
-    return pairs.where(F.col("cosine") >= threshold)
+
+    if n_planes > 0:
+        tables = []
+        for t in range(n_tables):
+            plane = F.lit(0).cast("long")
+            for p in range(n_planes):
+                plane = plane.bitwiseOR(
+                    F.shiftleft(
+                        _hyperplane_sign(F.col("v"), t * n_planes + p, dim).cast(
+                            "long"
+                        ),
+                        p,
+                    )
+                )
+            tables.append(plane)
+        blocked = base.select(
+            "id", "v", "nrm", F.posexplode(F.array(*tables)).alias("t", "bucket")
+        )
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("a.nrm").alias("na"),
+                F.col("b.v").alias("vb"),
+                F.col("b.nrm").alias("nb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.v").alias("vb"),
+            F.col("b.nrm").alias("nb"),
+        )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+            "cosine"
+        ),
+    )
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -56,6 +56,17 @@ def ocr_lines_to_jsonl(ocr_df: DataFrame, out_dir: str) -> None:
     per_page.write.mode("overwrite").json(out_dir)
 
 
+def _xml_escape(col):
+    """Escape &, <, > for XML text/attribute content (& first — the
+    reference gets this for free from xml.etree; raw concat without it
+    yields malformed PageXML for any text containing markup chars)."""
+    return F.replace(
+        F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+
+
 def ocr_lines_to_pagexml(ocr_df: DataFrame, out_dir: str) -> None:
     """K2 PageXML sink (PageXMLExporter, BDRC/exporter.py:162-276):
     minimal PcGts document per page with reading-order indexed lines,
@@ -68,7 +79,7 @@ def ocr_lines_to_pagexml(ocr_df: DataFrame, out_dir: str) -> None:
             F.lit('" index="'),
             s["line_rank"].cast("string"),
             F.lit('"><TextEquiv><Unicode>'),
-            s["text"],
+            _xml_escape(s["text"]),
             F.lit("</Unicode></TextEquiv></TextLine>"),
         ),
     )
@@ -80,7 +91,7 @@ def ocr_lines_to_pagexml(ocr_df: DataFrame, out_dir: str) -> None:
             F.concat(
                 F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<PcGts>\n'),
                 F.lit('  <Page imageFilename="'),
-                F.col("media_ref"),
+                _xml_escape(F.col("media_ref")),
                 F.lit('">\n'),
                 F.array_join(F.col("lines"), "\n"),
                 F.lit("\n  </Page>\n</PcGts>"),

@@ -115,11 +115,15 @@ def sort_lines_by_threshold(
         threshold = get_line_threshold(comps, mask_shape)
         if threshold <= 0:
             threshold = 20.0
-    by_center = {c.center: c for c in comps}
-    rows = sort_bbox_centers([c.center for c in comps], threshold)
+    # carry the component index through the sort as a third tuple slot
+    # (sort_bbox_centers only reads [0]/[1]): two components with an
+    # identical bbox center stay distinct — a center->component dict
+    # would emit one twice and silently drop the other's ink
+    triples = [(c.center[0], c.center[1], i) for i, c in enumerate(comps)]
+    rows = sort_bbox_centers(triples, threshold)
     ordered: list[Component] = []
     for row in rows:
-        row_comps = [by_center[ctr] for ctr in row]
+        row_comps = [comps[t[2]] for t in row]
         if group_lines:
             ordered.append(merge_row(row_comps))
         else:

@@ -115,13 +115,17 @@ class RecognitionSession:
         return out
 
 
-_SESSION_CACHE: dict[int, RecognitionSession] = {}
+_SESSION_CACHE: dict[str, RecognitionSession] = {}
 
 
 def get_session(weight_blob: bytes) -> RecognitionSession:
-    """Executor-global session keyed by weight identity — constructed once
-    per Python worker process and reused across Arrow batches."""
-    key = hash(weight_blob)
+    """Executor-global session keyed by weight CONTENT — constructed once
+    per Python worker process and reused across Arrow batches. md5 of
+    the blob is an honest content key (Python's bytes hash is per-process
+    salted, so it identifies nothing across processes)."""
+    import hashlib
+
+    key = hashlib.md5(weight_blob).hexdigest()
     sess = _SESSION_CACHE.get(key)
     if sess is None:
         sess = RecognitionSession(weight_blob)

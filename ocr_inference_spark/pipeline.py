@@ -211,10 +211,15 @@ def reassemble_spans(docs_df: DataFrame, ocr_df: DataFrame) -> DataFrame:
     detected lines in reading order (FIXTURES.md §3); offsets are then
     renumbered densely. Pure Catalyst: union + groupBy + array_sort +
     transform — no Python.
+
+    ``explode_outer`` keeps documents whose spans array is empty: they
+    surface as a kind-null sentinel row (src_offset -1, sorts first)
+    that the final filter drops, so the document survives with an empty
+    spans array instead of vanishing from the output.
     """
-    originals = docs_df.select("doc_id", F.explode("spans").alias("s")).select(
+    originals = docs_df.select("doc_id", F.explode_outer("spans").alias("s")).select(
         "doc_id",
-        F.col("s.offset").alias("src_offset"),
+        F.coalesce(F.col("s.offset"), F.lit(-1)).alias("src_offset"),
         F.lit(0).alias("sub"),
         F.lit(0).alias("rank"),
         F.col("s.kind").alias("kind"),
@@ -239,7 +244,7 @@ def reassemble_spans(docs_df: DataFrame, ocr_df: DataFrame) -> DataFrame:
         ).alias("ordered")
     )
     spans = F.transform(
-        "ordered",
+        F.filter("ordered", lambda x: x["kind"].isNotNull()),
         lambda x, i: F.struct(
             x["kind"].alias("kind"),
             x["text"].alias("text"),

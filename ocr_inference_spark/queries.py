@@ -635,11 +635,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def q28_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-3 (scale path) — approximate; rows-only check."""
+    """LSH-bucketed ANN top-3 (scale path) — approximate; rows-only
+    check. Exploded (table, bucket) equi-join (hash-join-plannable);
+    recall = 1.0 vs q27's exact top-k at sf0.01 with these parameters
+    (pinned in tests/test_dedup_similarity.py). Plane count scales with
+    log(corpus size) in production; 3 planes x 16 tables suits ~10^3
+    rows."""
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = corpus.where(F.col("vec_id") < 5)
-    return sim.lsh_topk(corpus, queries, k=3, n_planes=6, n_tables=4, dim=64)
+    return sim.lsh_topk(corpus, queries, k=3, n_planes=3, n_tables=16, dim=64)
 
 
 # ----------------------------------------------------------------- streaming-ish
@@ -770,6 +775,18 @@ WHERE round(list_dot_product(a.e, b.e) /
 """
 
 
+def q36_embedding_near_dup_lsh(spark, sf_dir):
+    """Headline embedding near-dup: hyperplane-LSH-blocked candidates +
+    exact cosine verify — the 10^12-row scale path (q35 keeps the exact
+    all-pairs baseline as its small-n oracle). Approximate by design, so
+    rows-only here; recall >= 0.9 vs the exact pairs is pinned in
+    tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=3, n_tables=12
+    )
+
+
 def q34_detect_lines(spark, sf_dir):
     """EP3 detection-only path over synthesized pages (rows-only)."""
     from .pipeline import detect_lines
@@ -818,6 +835,7 @@ QUERIES = {
     "q33_encoding_roundtrip": q33_encoding_roundtrip,
     "q34_detect_lines": q34_detect_lines,
     "q35_embedding_near_dup": q35_embedding_near_dup,
+    "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
 }
 
 ORACLES = {

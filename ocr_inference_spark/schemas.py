@@ -70,6 +70,10 @@ METRICS_SCHEMA = T.StructType(
     [
         T.StructField("job_id", T.StringType(), False),
         T.StructField("bucket", T.IntegerType(), False),
+        # bucketing modulus recorded per row: resuming a job with a
+        # different --buckets silently mismatches bucket numbers
+        # (skipped + duplicated docs) — run_resumable fails fast on it
+        T.StructField("n_buckets", T.IntegerType(), True),
         T.StructField("docs", T.LongType(), True),
         T.StructField("pages", T.LongType(), True),
         T.StructField("lines", T.LongType(), True),

@@ -46,12 +46,12 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
-    )
+    ).where(F.col("cnorm") > 0)  # cosine undefined for zero vectors (ANSI div/0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
-    )
+    ).where(F.col("qnorm") > 0)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -116,8 +116,9 @@ def lsh_topk(
     """Approximate top-k: multi-table hyperplane LSH candidates, exact
     cosine re-rank. Each of ``n_tables`` tables offsets the plane seeds,
     so a near pair missed by one table is caught by another."""
-    def with_buckets(df, prefix):
-        out = df
+    def table_buckets(df):
+        """array of per-table bucket ids (index = table id)."""
+        tables = []
         for t in range(n_tables):
             plane = F.lit(0).cast("long")
             for p in range(n_planes):
@@ -129,26 +130,37 @@ def lsh_topk(
                         p,
                     )
                 )
-            out = out.withColumn(f"{prefix}b{t}", plane)
-        return out
+            tables.append(plane)
+        return F.array(*tables)
 
-    c = with_buckets(corpus, "c").select(
+    # Explode both sides to (table_id, bucket) rows and EQUI-join on
+    # ["t", "bucket"]. An OR-of-equalities condition cannot be planned as
+    # a hash join (Spark falls back to BroadcastNestedLoopJoin, i.e. the
+    # same O(N·Q) pair scan as brute force); the exploded equi-join is a
+    # real hash/bucket join that only touches same-bucket pairs.
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
-        *[F.col(f"cb{t}") for t in range(n_tables)],
+        F.posexplode(table_buckets(corpus[vec_col])).alias("t", "bucket"),
+    ).where(F.col("cnorm") > 0)  # cosine undefined for zero vectors
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(table_buckets(queries[vec_col])).alias("t", "bucket"),
     )
-    q = with_buckets(queries, "q").select(
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        # a pair may collide in several tables — dedup before re-ranking
+        .select("query_id", "neighbor_id", "cvec", "cnorm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qvecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
-        *[F.col(f"qb{t}") for t in range(n_tables)],
-    )
-    cond = F.lit(False)
-    for t in range(n_tables):
-        cond = cond | (F.col(f"cb{t}") == F.col(f"qb{t}"))
-    cand = c.join(F.broadcast(q), cond & (F.col("query_id") != F.col("neighbor_id")))
-    scored = cand.withColumn(
+    ).where(F.col("qnorm") > 0)
+    scored = cand.join(F.broadcast(qvecs), "query_id").withColumn(
         "cosine",
         F.round(
             _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6

@@ -56,6 +56,45 @@ def test_simhash_near_dup(docs):
     assert (4, 5) not in pairs
 
 
+def test_lsh_topk_recall_and_plan(spark):
+    """The LSH ANN path must (a) plan as a hash join — never a
+    BroadcastNestedLoopJoin (an OR-of-bucket-equalities condition
+    degenerates to an O(N*Q) pair scan) — and (b) recover the exact
+    top-k at sf0.001 with the q28 parameters."""
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.where(F.col("vec_id") < 5)
+    approx = lsh_topk(corpus, queries, k=3, n_planes=3, n_tables=16, dim=64)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, queries, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(exact & got) / len(exact) >= 0.95
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH-blocked near-dup (q36 parameters) vs the exact all-pairs
+    baseline (q35): every emitted pair is exact-verified (precision 1)
+    and recall >= 0.9 at sf0.001."""
+    from ocr_inference_spark.dedup import embedding_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           embedding_near_dup(emb, "vec_id", "embedding", threshold=0.4,
+                              n_planes=3, n_tables=12).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
 def test_cosine_topk_exact(spark):
     from ocr_inference_spark.similarity import cosine_topk
 

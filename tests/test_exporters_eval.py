@@ -127,3 +127,28 @@ def test_recognize_pages_eval_schema(spark):
     # deterministic guids: rerun produces the identical set
     again = {r["guid"] for r in recognize_pages_eval(spark, docs_df, pages_df).collect()}
     assert again == {r["guid"] for r in rows}
+
+
+def test_pagexml_escapes_markup_chars(spark, tmp_path):
+    """Text containing &, <, > must be XML-escaped (the reference gets
+    this from xml.etree; raw concat would emit malformed PageXML)."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.exporters import ocr_lines_to_pagexml
+
+    ocr_df = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d1", media_offset=0, media_ref="p<1>&", line_rank=0,
+                text="a < b & c > d", ctc_conf=1.0, page_angle=0.0,
+                dewarp_applied=False, n_lines=1, status="success",
+            )
+        ]
+    )
+    out = str(tmp_path / "xml")
+    ocr_lines_to_pagexml(ocr_df, out)
+    body = "\n".join(r.value for r in spark.read.text(out).collect())
+    assert "a &lt; b &amp; c &gt; d" in body
+    assert 'imageFilename="p&lt;1&gt;&amp;"' in body
+    # no raw markup chars leaked into text content
+    assert "a < b" not in body

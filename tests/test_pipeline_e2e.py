@@ -159,3 +159,46 @@ def test_orphan_media_ref_survives(spark):
         ("media", None, "missing_page", 0),
         ("text", "tail", None, 1),
     ]
+
+
+def test_empty_spans_document_survives(spark):
+    """A document whose spans array is empty must appear in the output
+    with an empty spans array (explode would silently drop it)."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.schemas import DOCUMENTS_SCHEMA, PAGES_SCHEMA
+
+    docs_df = spark.createDataFrame(
+        [
+            Row(doc_id="empty", spans=[]),
+            Row(
+                doc_id="d1",
+                spans=[Row(kind="text", text="hello", media_ref=None, offset=0)],
+            ),
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    pages_df = spark.createDataFrame([], schema=PAGES_SCHEMA)
+    out = {r["doc_id"]: r["spans"] for r in extract_spans(spark, docs_df, pages_df).collect()}
+    assert set(out) == {"empty", "d1"}
+    assert out["empty"] == []
+    assert _tuples(out["d1"]) == [("text", "hello", None, 0)]
+
+
+def test_resume_rejects_changed_n_buckets(spark, tmp_path):
+    """Resuming a job_id with a different bucketing modulus must fail
+    fast — bucket numbers computed under another modulus would skip some
+    documents and re-key others."""
+    from ocr_inference_spark.checkpoint import run_resumable
+
+    documents, pages, _ = build_corpus(n_docs=4, seed=3)
+    docs_df, pages_df = corpus_to_spark(spark, documents, pages)
+    out_path = str(tmp_path / "out")
+    metrics_path = str(tmp_path / "metrics")
+    run_resumable(spark, docs_df, pages_df, out_path, metrics_path, "jobA", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_resumable(
+            spark, docs_df, pages_df, out_path, metrics_path, "jobA", n_buckets=8
+        )
+    # a fresh job id with the new modulus is fine
+    run_resumable(spark, docs_df, pages_df, out_path, metrics_path, "jobB", n_buckets=8)

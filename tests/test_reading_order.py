@@ -83,3 +83,18 @@ def test_sort_bbox_centers_properties():
             assert xs == sorted(xs)
 
     prop()
+
+
+def test_duplicate_centers_stay_distinct():
+    """Two components with identical bbox centers must both be emitted
+    (a center-keyed dict would emit one twice and drop the other)."""
+    from ocr_inference_spark.kernels.components import Component
+    from ocr_inference_spark.kernels.reading_order import sort_lines_by_threshold
+
+    # same center (5, 5): one 11-wide flat box, one 1x11 tall box
+    c1 = Component(runs=[(5, 0, 11)], x=0, y=5, w=11, h=1, area=11)
+    c2 = Component(runs=[(r, 5, 6) for r in range(11)], x=5, y=0, w=1, h=11, area=11)
+    assert c1.center == c2.center
+    ordered, _ = sort_lines_by_threshold([c1, c2], (20, 20), threshold=1.0, group_lines=False)
+    assert len(ordered) == 2
+    assert {id(o) for o in ordered} == {id(c1), id(c2)}
