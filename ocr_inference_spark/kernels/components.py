@@ -53,6 +53,17 @@ class Component:
         top[top == np.iinfo(np.int32).max] = -1
         return top.astype(np.int32)
 
+    def median_thickness(self) -> float:
+        """Median per-column ink row count over columns holding ink — a
+        warp-INVARIANT height measure: a thin rule bent by page curl has
+        an inflated bbox height but its columns stay ~rule-thin, while a
+        text line's columns stay ~band-tall."""
+        t = np.zeros(self.w, dtype=np.int32)
+        for row, x0, x1 in self.runs:
+            t[x0 - self.x : x1 - self.x] += 1
+        inked = t[t > 0]
+        return float(np.median(inked)) if inked.size else 0.0
+
     def column_ys(self, x_abs: int) -> np.ndarray:
         """All ink rows of this component at absolute column ``x_abs``."""
         return np.array(
@@ -167,6 +178,84 @@ def filter_area(comps: list[Component], min_area: float) -> list[Component]:
     return [c for c in comps if c.area > min_area]
 
 
+def get_text_area(
+    comps: list[Component], grow_x: int = 5, grow_y: int = 55
+) -> tuple[int, int, int, int] | None:
+    """Main-content (text-area) bbox — I36 analogue of ``get_text_area``
+    (reference: BDRC/utils.py:576-608): the reference dilates the line
+    mask with a 12x2 kernel x10 iterations (~±55 px vertical, ~±5 px
+    horizontal reach) and takes the biggest resulting contour's bounding
+    rect. Equivalent on run-based components: inflate each bbox by
+    (grow_x, grow_y), union-find transitively overlapping boxes into
+    clusters (what the dilation merges), pick the cluster with the
+    biggest merged-bbox area, return its UN-inflated bbox as
+    (xmin, ymin, xmax, ymax) inclusive. None when there are no
+    components (reference returns None on no contours)."""
+    if not comps:
+        return None
+    n = len(comps)
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    boxes = [
+        (c.x - grow_x, c.y - grow_y, c.x + c.w + grow_x, c.y + c.h + grow_y)
+        for c in comps
+    ]
+    for i in range(n):
+        ax0, ay0, ax1, ay1 = boxes[i]
+        for j in range(i + 1, n):
+            bx0, by0, bx1, by1 = boxes[j]
+            if ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    clusters: dict[int, list[Component]] = {}
+    for i, c in enumerate(comps):
+        clusters.setdefault(find(i), []).append(c)
+
+    def bbox_of(cs: list[Component]) -> tuple[int, int, int, int]:
+        return (
+            min(c.x for c in cs),
+            min(c.y for c in cs),
+            max(c.x + c.w for c in cs),
+            max(c.y + c.h for c in cs),
+        )
+
+    best = max(
+        clusters.values(),
+        key=lambda cs: (
+            (bbox_of(cs)[2] - bbox_of(cs)[0]) * (bbox_of(cs)[3] - bbox_of(cs)[1])
+        ),
+    )
+    x0, y0, x1, y1 = bbox_of(best)
+    return (x0, y0, x1 - 1, y1 - 1)
+
+
+def filter_in_text_area(
+    comps: list[Component], rect: tuple[int, int, int, int] | None
+) -> list[Component]:
+    """F3 spatial predicate — keep components whose bbox CENTER lies
+    inside the text-area rect, bounds inclusive (reference:
+    filter_contours + is_inside_rectangle, BDRC/utils.py:661-681). This
+    is the reference's actual boilerplate-strip mechanism: line-shaped
+    furniture outside the main block (captions, marginal rules) passes
+    the size filter but fails this one."""
+    if rect is None:
+        return comps
+    xmin, ymin, xmax, ymax = rect
+    return [
+        c
+        for c in comps
+        if xmin <= c.center[0] <= xmax and ymin <= c.center[1] <= ymax
+    ]
+
+
 def filter_line_contours(
     comps: list[Component],
     image_width: int,
@@ -174,8 +263,15 @@ def filter_line_contours(
     deflate_w: int = 0,
     deflate_h: int = 0,
 ) -> list[Component]:
-    """Keep components with w > 1% image width and h > min_h
+    """Keep components with w > 1% image width and line-height > min_h
     (reference: filter_line_contours, BDRC/line_detection.py:247-264).
+
+    The height test uses the median per-column ink thickness rather than
+    the bbox height: the reference measures bbox h on geometry that is
+    already deskewed/dewarped (flat bboxes), whereas this filter also
+    runs on pre-rectification geometry where page curl inflates a thin
+    furniture rule's bbox far past min_h — column thickness is the
+    warp-invariant restatement of the same criterion.
 
     ``deflate_w``/``deflate_h`` subtract the segmentation model's
     dilation margins so the size test applies to the underlying *ink*
@@ -188,5 +284,5 @@ def filter_line_contours(
         c
         for c in comps
         if (c.w - 2 * deflate_w) > image_width * 0.01
-        and (c.h - 2 * deflate_h) > min_h
+        and (c.median_thickness() - 2 * deflate_h) > min_h
     ]

@@ -30,7 +30,9 @@ from .kernels.binarize import binarize, to_gray
 from .kernels.components import (
     connected_components,
     filter_area,
+    filter_in_text_area,
     filter_line_contours,
+    get_text_area,
 )
 from .kernels.ctc import beam_decode, ctc_confidence, greedy_decode
 from .kernels.deskew import ROTATE_THRESHOLD, estimate_page_angle, shear_shift
@@ -68,6 +70,17 @@ def _detect(ink: np.ndarray):
     return mask, comps
 
 
+def _line_comps(comps, width: int):
+    """Line candidates = size filter (F2) + text-area spatial filter
+    (I36/F3): size strips sub-line furniture, the main-content rect
+    strips line-SHAPED furniture outside the text block (captions,
+    marginal rules) — the reference's post_process_prediction order
+    (text-area crop, then contour filtering; BDRC/utils.py:684-701)."""
+    area = get_text_area(comps)
+    sized = filter_line_contours(comps, width, deflate_w=H_RADIUS, deflate_h=V_RADIUS)
+    return filter_in_text_area(sized, area)
+
+
 def detect_page(content: bytes) -> dict:
     """Detection-only kernel (EP3 analogue, infer_lines_cli.py): page
     bytes -> line bboxes in reading order under LINE_DETECTION_SCHEMA
@@ -79,7 +92,7 @@ def detect_page(content: bytes) -> dict:
                 "width": 0, "height": 0}
     ink = binarize(gray)
     mask, comps = _detect(ink)
-    line_comps = filter_line_contours(comps, ink.shape[1], deflate_w=H_RADIUS, deflate_h=V_RADIUS)
+    line_comps = _line_comps(comps, ink.shape[1])
     ordered, _ = sort_lines_by_threshold(line_comps, mask.shape)
     return {
         "status": "success",
@@ -121,7 +134,7 @@ def process_page(
 
         # stage 3: dewarp gate + fit on analytically-deskewed geometry
         # (reference: BDRC/inference.py:535-589)
-        line_comps = filter_line_contours(comps, width, deflate_w=H_RADIUS, deflate_h=V_RADIUS)
+        line_comps = _line_comps(comps, width)
         ratio, _dys = distortion_ratio(line_comps, base)
         applied = ratio > TPS_THRESHOLD and bool(line_comps) and tps_mode == "global"
         total = base
@@ -131,7 +144,7 @@ def process_page(
         if total is not None:
             ink = apply_column_shift(ink, total)
             mask, comps = _detect(ink)
-            line_comps = filter_line_contours(comps, width, deflate_w=H_RADIUS, deflate_h=V_RADIUS)
+            line_comps = _line_comps(comps, width)
 
         # stage 4: reading order + extraction
         ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)

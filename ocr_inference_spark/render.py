@@ -50,6 +50,10 @@ def render_line_band(text: str) -> np.ndarray:
     return band
 
 
+CAPTION_GAP = 320  # far enough below the block that the text-area
+# clustering (±55 px reach) cannot merge it even under max skew+warp
+
+
 def render_page(
     lines: list[str],
     margin: int = 48,
@@ -58,6 +62,7 @@ def render_page(
     warp_amp: int = 0,
     warp_period: int | None = None,
     noise: bool = False,
+    caption: bool = False,
 ) -> np.ndarray:
     """Known text lines -> uint8 grayscale page image (dark ink on paper).
 
@@ -81,11 +86,21 @@ def render_page(
     s = np.rint(shift_down).astype(np.int64)
     pad = int(max(-s.min(), s.max(), 0)) + 1 if s.any() else 0
     height = 2 * (margin + pad) + len(bands) * BAND_H + max(len(bands) - 1, 0) * spacing
+    if caption:
+        height += CAPTION_GAP + BAND_H
     ink = np.zeros((height, width), dtype=np.uint8)
     y = margin + pad
     for band in bands:
         ink[y : y + BAND_H, margin : margin + band.shape[1]] = band
         y += BAND_H + spacing
+    if caption:
+        # LINE-SHAPED furniture outside the text block: a caption-like
+        # solid band that PASSES the line-size filter (full line height,
+        # >1% page width) — only the text-area spatial filter (I36/F3,
+        # reference BDRC/utils.py:576-608,661-681) can strip it
+        cy = (y - spacing) + CAPTION_GAP
+        cw = max(int(content_w * 0.6), 48)
+        ink[cy : cy + BAND_H, margin : margin + cw] = 1
     if noise:
         # non-content page furniture — the analogue of the reference's
         # margin / header / pagenr layout classes (Config.py:37-48),

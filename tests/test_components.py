@@ -76,3 +76,38 @@ def test_filters():
     lines = filter_line_contours(comps, 200, min_h=10)
     assert len(lines) == 1
     assert lines[0].y == 50
+
+
+def test_get_text_area_picks_biggest_cluster():
+    import numpy as np
+
+    from ocr_inference_spark.kernels.components import (
+        connected_components,
+        filter_in_text_area,
+        get_text_area,
+    )
+
+    mask = np.zeros((400, 300), dtype=np.uint8)
+    # main block: three "lines" 40 px apart (merge under ±55 reach)
+    for y in (50, 110, 170):
+        mask[y : y + 20, 40:260] = 1
+    # far caption: line-shaped, 180 px below the block (no merge)
+    mask[370:390, 40:180] = 1
+    comps = connected_components(mask)
+    rect = get_text_area(comps)
+    assert rect is not None
+    xmin, ymin, xmax, ymax = rect
+    assert ymin <= 50 and ymax >= 189 and ymax < 370  # block only
+    kept = filter_in_text_area(comps, rect)
+    assert len(kept) == 3
+    assert all(c.center[1] < 200 for c in kept)
+
+
+def test_get_text_area_empty_and_passthrough():
+    from ocr_inference_spark.kernels.components import (
+        filter_in_text_area,
+        get_text_area,
+    )
+
+    assert get_text_area([]) is None
+    assert filter_in_text_area([], None) == []
