@@ -30,6 +30,9 @@ from .pipeline import media_spans, reassemble_spans, recognize_pages
 from .schemas import METRICS_SCHEMA
 
 
+FINAL_STAGE = "ocr+reassemble"  # the row that marks a bucket complete
+
+
 def bucket_of(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
@@ -41,7 +44,11 @@ def completed_buckets(spark: SparkSession, metrics_path: str, job_id: str) -> Da
     except Exception:
         return spark.createDataFrame([], "bucket int")
     return (
-        m.where((F.col("job_id") == job_id) & (F.col("status") == "success"))
+        m.where(
+            (F.col("job_id") == job_id)
+            & (F.col("status") == "success")
+            & (F.col("stage") == FINAL_STAGE)  # stage-audit rows don't complete a bucket
+        )
         .select("bucket")
         .distinct()
     )
@@ -124,14 +131,48 @@ def run_resumable(
             F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"),
         )
     )
+    # per-stage audit rows (K8, AuditLogger.log_stage_start/_end/_error,
+    # BDRC/audit_logger.py:41-64): one row per (bucket, stage) with the
+    # summed kernel stage time; a stage any page failed at gets status
+    # 'failed' and the failed-page count in ``docs``
+    page_stage = (
+        ocr.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        .groupBy("bucket", "doc_id", "media_ref", "status")
+        .agg(F.first("stage_ms").alias("stage_ms"))
+    )
+    stage_rows = page_stage.select(
+        "bucket", "status", F.explode_outer("stage_ms").alias("stage", "ms")
+    ).where(F.col("stage").isNotNull())
+    stage_metrics = (
+        stage_rows.groupBy("bucket", "stage")
+        .agg(
+            F.sum("ms").alias("duration_ms"),
+            F.sum(
+                F.when(F.col("status") == F.concat(F.lit("failed:"), F.col("stage")), 1)
+                .otherwise(0)
+            ).alias("n_failed"),
+            F.count("*").alias("docs"),
+        )
+        .withColumn(
+            "status", F.when(F.col("n_failed") > 0, "failed").otherwise("success")
+        )
+        .withColumn("pages", F.col("docs"))
+        .withColumn("lines", F.lit(None).cast("long"))
+        .withColumn("chars", F.lit(None).cast("long"))
+    )
+
     metrics = (
         doc_counts.join(ocr_counts, "bucket", "left_outer")
         .na.fill(0, ["pages", "lines", "chars"])
+        .withColumn("status", F.lit("success"))
+        .withColumn("stage", F.lit(FINAL_STAGE))
+        .withColumn("duration_ms", F.lit(duration_ms))
+        .unionByName(stage_metrics.select(
+            "bucket", "docs", "pages", "lines", "chars", "status", "stage",
+            "duration_ms",
+        ))
         .withColumn("job_id", F.lit(job_id))
         .withColumn("n_buckets", F.lit(n_buckets))
-        .withColumn("status", F.lit("success"))
-        .withColumn("stage", F.lit("ocr+reassemble"))
-        .withColumn("duration_ms", F.lit(duration_ms))
         .withColumn("ts", F.current_timestamp())
         .select([f.name for f in METRICS_SCHEMA.fields])
     )

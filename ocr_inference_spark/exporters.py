@@ -67,25 +67,61 @@ def _xml_escape(col):
     )
 
 
-def ocr_lines_to_pagexml(ocr_df: DataFrame, out_dir: str) -> None:
+def _points_string(contour):
+    """contour array<struct<x,y>> -> 'x,y x,y ...' (C13 point-string
+    formatting, reference: BDRC/exporter.py:82-113)."""
+    return F.array_join(
+        F.transform(
+            contour,
+            lambda p: F.concat(p["x"].cast("string"), F.lit(","), p["y"].cast("string")),
+        ),
+        " ",
+    )
+
+
+def detection_line_polygons(det_df: DataFrame) -> DataFrame:
+    """Detection table -> one row per line: (media_ref, line_rank,
+    points) with the Coords point string. Contours are emitted in
+    reading order, so position == line_rank."""
+    return det_df.select(
+        F.col("image_name").alias("media_ref"),
+        F.posexplode("contours").alias("line_rank", "contour"),
+    ).select("media_ref", "line_rank", _points_string(F.col("contour")).alias("points"))
+
+
+def ocr_lines_to_pagexml(
+    ocr_df: DataFrame, out_dir: str, det_df: DataFrame | None = None
+) -> None:
     """K2 PageXML sink (PageXMLExporter, BDRC/exporter.py:162-276):
-    minimal PcGts document per page with reading-order indexed lines,
-    built from pure string expressions."""
+    PcGts document per page with reading-order indexed lines; when a
+    detection table is supplied, each TextLine carries its polygon
+    ``<Coords points="x,y x,y ..."/>`` like build_xml_document
+    (reference: BDRC/exporter.py:162-233). Pure string expressions."""
+    lines_src = ocr_df.where(F.col("status") == "success")
+    if det_df is not None:
+        polys = detection_line_polygons(det_df)
+        lines_src = lines_src.join(polys, ["media_ref", "line_rank"], "left")
+    else:
+        lines_src = lines_src.withColumn("points", F.lit(None).cast("string"))
     line_xml = F.transform(
-        F.array_sort(F.collect_list(F.struct("line_rank", "text"))),
+        F.array_sort(F.collect_list(F.struct("line_rank", "text", "points"))),
         lambda s: F.concat(
             F.lit('    <TextLine id="l'),
             s["line_rank"].cast("string"),
             F.lit('" index="'),
             s["line_rank"].cast("string"),
-            F.lit('"><TextEquiv><Unicode>'),
+            F.lit('">'),
+            F.when(
+                s["points"].isNotNull(),
+                F.concat(F.lit('<Coords points="'), s["points"], F.lit('"/>')),
+            ).otherwise(F.lit("")),
+            F.lit("<TextEquiv><Unicode>"),
             _xml_escape(s["text"]),
             F.lit("</Unicode></TextEquiv></TextLine>"),
         ),
     )
     per_page = (
-        ocr_df.where(F.col("status") == "success")
-        .groupBy("doc_id", "media_ref")
+        lines_src.groupBy("doc_id", "media_ref")
         .agg(line_xml.alias("lines"))
         .select(
             F.concat(

@@ -61,6 +61,9 @@ class PageResult:
     status: str = "success"
     error: str = ""
     beams: list = field(default_factory=list)  # eval_mode: top-k (text, logp) per line
+    # per-stage wall-clock ms (audit/metrics plane ONLY — never data;
+    # cf. AuditLogger stage records, BDRC/audit_logger.py:41-64)
+    stage_ms: dict = field(default_factory=dict)
 
 
 def _detect(ink: np.ndarray):
@@ -83,13 +86,17 @@ def _line_comps(comps, width: int):
 
 def detect_page(content: bytes) -> dict:
     """Detection-only kernel (EP3 analogue, infer_lines_cli.py): page
-    bytes -> line bboxes in reading order under LINE_DETECTION_SCHEMA
-    semantics (Config.py:90-115)."""
+    bytes -> line bboxes + simplified contour polygons in reading order
+    under LINE_DETECTION_SCHEMA semantics (Config.py:90-115; polygons
+    Douglas-Peucker-simplified like optimize_countour,
+    BDRC/line_detection.py:47-59)."""
+    from .kernels.contours import contour_points
+
     try:
         gray = to_gray(png_decode(content))
     except Exception as exc:
         return {"status": "decode_failed", "error": str(exc)[:200], "bboxes": [],
-                "width": 0, "height": 0}
+                "contours": [], "width": 0, "height": 0}
     ink = binarize(gray)
     mask, comps = _detect(ink)
     line_comps = _line_comps(comps, ink.shape[1])
@@ -102,6 +109,7 @@ def detect_page(content: bytes) -> dict:
         "bboxes": [
             {"x": c.x, "y": c.y, "w": c.w, "h": c.h} for c in ordered
         ],
+        "contours": [contour_points(c) for c in ordered],
     }
 
 
@@ -115,25 +123,44 @@ def process_page(
     rectification (apply_global_tps analogue); 'local' skips it and
     rectifies each extracted line individually (TPSMode.LOCAL,
     BDRC/data.py:74-78; get_line_images_via_local_tps)."""
+    from time import perf_counter
+
+    stage_ms: dict[str, float] = {}
+    t0 = perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal t0
+        t1 = perf_counter()
+        stage_ms[stage] = stage_ms.get(stage, 0.0) + (t1 - t0) * 1000.0
+        t0 = t1
+
+    stage = "decode"
     try:
         gray = to_gray(png_decode(content))
     except Exception as exc:  # malformed media payload -> failed row
-        return PageResult(status="decode_failed", error=str(exc)[:200])
+        _mark("decode")  # partial time of the failing stage -> audit row
+        return PageResult(status="failed:decode", error=str(exc)[:200], stage_ms=stage_ms)
+    _mark("decode")
     try:
+        stage = "detect"
         ink = binarize(gray)
         width = ink.shape[1]
         # stage 1: detection
         mask, comps = _detect(ink)
+        _mark("detect")
 
         # stage 2: deskew (reference: BDRC/line_detection.py:212-244) —
         # the correction is a per-column shift, SCHEDULED here and
         # composed with the dewarp shift below so the ink is
         # re-materialized (and re-detected) at most once
+        stage = "deskew"
         angle = estimate_page_angle(comps, mask.shape)
         base = shear_shift(width, angle) if abs(angle) > ROTATE_THRESHOLD else None
+        _mark("deskew")
 
         # stage 3: dewarp gate + fit on analytically-deskewed geometry
         # (reference: BDRC/inference.py:535-589)
+        stage = "dewarp"
         line_comps = _line_comps(comps, width)
         ratio, _dys = distortion_ratio(line_comps, base)
         applied = ratio > TPS_THRESHOLD and bool(line_comps) and tps_mode == "global"
@@ -145,11 +172,15 @@ def process_page(
             ink = apply_column_shift(ink, total)
             mask, comps = _detect(ink)
             line_comps = _line_comps(comps, width)
+        _mark("dewarp")
 
         # stage 4: reading order + extraction
+        stage = "extract"
         ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
         line_imgs = extract_line_images(ink, ordered, local_tps=tps_mode == "local")
+        _mark("extract")
 
+        stage = "recognize"
         # stage 5: recognition (eval_mode switches to beam decode with
         # top-k + confidences, cf. run_text_recognition_eval,
         # BDRC/inference.py:668-726)
@@ -170,6 +201,7 @@ def process_page(
             text = decode_ids(ids)
             texts.append(text)
             confs.append(ctc_confidence(score, len(text)))
+        _mark("recognize")
         return PageResult(
             beams=beams_out,
             texts=texts,
@@ -178,6 +210,12 @@ def process_page(
             dewarp_applied=bool(applied),
             distortion_ratio=float(ratio),
             n_lines=len(texts),
+            stage_ms=stage_ms,
         )
     except Exception as exc:
-        return PageResult(status="failed", error=str(exc)[:200])
+        # stage-tagged failure, mirroring AuditLogger.log_stage_error
+        # (reference: BDRC/audit_logger.py:41-64); partial stage time kept
+        _mark(stage)
+        return PageResult(
+            status=f"failed:{stage}", error=str(exc)[:200], stage_ms=stage_ms
+        )

@@ -79,6 +79,7 @@ def _make_ocr_kernel(weight_bc):
                         out["dewarp_applied"].append(res.dewarp_applied)
                         out["n_lines"].append(res.n_lines)
                         out["status"].append(res.status)
+                        out["stage_ms"].append(res.stage_ms)
                 else:
                     # keep one row per failed/empty page for lineage metrics
                     out["doc_id"].append(doc_id)
@@ -91,6 +92,7 @@ def _make_ocr_kernel(weight_bc):
                     out["dewarp_applied"].append(res.dewarp_applied)
                     out["n_lines"].append(0)
                     out["status"].append(res.status if res.status != "success" else "empty")
+                    out["stage_ms"].append(res.stage_ms)
             yield pd.DataFrame(out)
 
     return ocr_kernel
@@ -271,15 +273,19 @@ def extract_spans(
     return out
 
 
+# full LINE_DETECTION_SCHEMA fidelity (Config.py:90-115): nested contour
+# polygons (Douglas-Peucker simplified) alongside bboxes
 DETECTION_OUT_SCHEMA = (
     "image_name string, image_width int, image_height int, num_contours int,"
+    " contours array<array<struct<x:int, y:int>>>,"
     " bboxes array<struct<x:int, y:int, w:int, h:int>>, status string"
 )
 
 
 def detect_lines(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
     """Detection-only job (EP3, infer_lines_cli.py): pages -> per-page
-    line bboxes in reading order (LINE_DETECTION_SCHEMA analogue)."""
+    line contours + bboxes in reading order (LINE_DETECTION_SCHEMA
+    analogue, write_result_parquet BDRC/utils.py:1119-1139)."""
     import pandas as pd  # noqa: F811
 
     def kernel(batches):
@@ -288,7 +294,7 @@ def detect_lines(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {
                 "image_name": [], "image_width": [], "image_height": [],
-                "num_contours": [], "bboxes": [], "status": [],
+                "num_contours": [], "contours": [], "bboxes": [], "status": [],
             }
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 d = detect_page(bytes(content))
@@ -296,6 +302,7 @@ def detect_lines(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
                 rows["image_width"].append(d["width"])
                 rows["image_height"].append(d["height"])
                 rows["num_contours"].append(len(d["bboxes"]))
+                rows["contours"].append(d["contours"])
                 rows["bboxes"].append(d["bboxes"])
                 rows["status"].append(d["status"])
             yield pd.DataFrame(rows)

@@ -795,7 +795,14 @@ def q34_detect_lines(spark, sf_dir):
     _, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
     det = detect_lines(spark, pages)
     return det.select(
-        "image_name", "image_width", "image_height", "num_contours", "status"
+        "image_name",
+        "image_width",
+        "image_height",
+        "num_contours",
+        F.aggregate(
+            "contours", F.lit(0), lambda acc, c: acc + F.size(c)
+        ).alias("n_contour_points"),
+        "status",
     )
 
 

@@ -59,6 +59,10 @@ OCR_LINES_SCHEMA = T.StructType(
         T.StructField("dewarp_applied", T.BooleanType(), True),
         T.StructField("n_lines", T.IntegerType(), True),
         T.StructField("status", T.StringType(), False),
+        # per-stage wall-clock ms (decode/detect/deskew/dewarp/extract/
+        # recognize) — audit plane only (BDRC/audit_logger.py:41-64);
+        # identical across a page's line rows
+        T.StructField("stage_ms", T.MapType(T.StringType(), T.DoubleType()), True),
     ]
 )
 
@@ -85,13 +89,29 @@ METRICS_SCHEMA = T.StructType(
     ]
 )
 
-# detection-parquet analogue of LINE_DETECTION_SCHEMA (Config.py:90-115)
+# detection-parquet analogue of LINE_DETECTION_SCHEMA (Config.py:90-115):
+# contours = list<list<struct<x,y>>> exactly like the reference's Arrow
+# schema (Douglas-Peucker-simplified boundary polygons)
 LINE_DETECTION_SCHEMA = T.StructType(
     [
         T.StructField("image_name", T.StringType(), False),
         T.StructField("image_width", T.IntegerType(), False),
         T.StructField("image_height", T.IntegerType(), False),
         T.StructField("num_contours", T.IntegerType(), False),
+        T.StructField(
+            "contours",
+            T.ArrayType(
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("x", T.IntegerType()),
+                            T.StructField("y", T.IntegerType()),
+                        ]
+                    )
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "bboxes",
             T.ArrayType(

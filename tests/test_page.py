@@ -51,7 +51,7 @@ def test_single_char_page():
 
 def test_garbage_bytes_fail_soft():
     res = process_page(b"definitely not a png", SESSION)
-    assert res.status == "decode_failed"
+    assert res.status == "failed:decode"
     assert res.texts == []
 
 

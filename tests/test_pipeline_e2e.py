@@ -202,3 +202,40 @@ def test_resume_rejects_changed_n_buckets(spark, tmp_path):
         )
     # a fresh job id with the new modulus is fine
     run_resumable(spark, docs_df, pages_df, out_path, metrics_path, "jobB", n_buckets=8)
+
+
+def test_stage_audit_rows(spark, tmp_path):
+    """K8 per-stage audit events: the metrics table carries one row per
+    (bucket, stage) with kernel stage durations; a failed page produces
+    a 'failed' stage row naming the stage (AuditLogger analogue,
+    reference BDRC/audit_logger.py:41-64)."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.checkpoint import FINAL_STAGE, run_resumable
+    from ocr_inference_spark.schemas import DOCUMENTS_SCHEMA, PAGES_SCHEMA
+
+    documents, pages, _ = build_corpus(n_docs=4, seed=9)
+    docs_df, pages_df = corpus_to_spark(spark, documents, pages)
+    out, met = str(tmp_path / "out"), str(tmp_path / "metrics")
+    run_resumable(spark, docs_df, pages_df, out, met, "jobS", n_buckets=2)
+    m = spark.read.parquet(met)
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert FINAL_STAGE in stages
+    assert {"decode", "detect", "deskew", "dewarp", "extract", "recognize"} <= stages
+    assert all(
+        r["duration_ms"] >= 0 for r in m.where(f"stage != '{FINAL_STAGE}'").collect()
+    )
+
+    # failed-page fixture -> a 'failed' decode stage row
+    bad_docs = spark.createDataFrame(
+        [Row(doc_id="bad", spans=[Row(kind="media", text=None, media_ref="bad", offset=0)])],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    bad_pages = spark.createDataFrame(
+        [Row(media_ref="bad", content=b"garbage", width=0, height=0)], schema=PAGES_SCHEMA
+    )
+    out2, met2 = str(tmp_path / "out2"), str(tmp_path / "metrics2")
+    run_resumable(spark, bad_docs, bad_pages, out2, met2, "jobF", n_buckets=1)
+    m2 = spark.read.parquet(met2)
+    failed = m2.where("status = 'failed'").collect()
+    assert any(r["stage"] == "decode" for r in failed)
