@@ -118,6 +118,42 @@ def beam_decode(
     return final[:top_k]
 
 
+def parse_arpa_unigrams(arpa_text: str) -> dict[str, float]:
+    """Extract the \\1-grams: section of an ARPA LM file as
+    {token: log10-prob} (C14 — reference: parse_arpa_unigrams,
+    BDRC/utils.py:395-427; the reference keeps tokens only, we keep the
+    log-probs too so the table feeds shallow fusion directly). Section
+    ends at the next backslash header; blank/# lines skipped. Sentinel
+    tokens (<s>, </s>, <unk>) are dropped — they never complete from CTC
+    output. Takes the file CONTENT (driver reads once, broadcasts)."""
+    out: dict[str, float] = {}
+    in_1grams = False
+    for line in arpa_text.splitlines():
+        line = line.strip()
+        if line == r"\1-grams:":
+            in_1grams = True
+            continue
+        if in_1grams and line.startswith("\\"):
+            break
+        if in_1grams and line and not line.startswith("#"):
+            parts = line.split()  # <logprob> <token> [<backoff>]
+            if len(parts) >= 2 and parts[1] not in ("<s>", "</s>", "<unk>"):
+                try:
+                    out[parts[1]] = float(parts[0])
+                except ValueError:
+                    continue
+    return out
+
+
+def arpa_unigram_lm(arpa_text: str, encode) -> dict[tuple[int, ...], float]:
+    """ARPA file content -> shallow-fusion table (char-id tuple ->
+    natural-log prob). ARPA stores log10; fusion uses ln."""
+    return {
+        tuple(int(i) for i in encode(tok)): lp * math.log(10.0)
+        for tok, lp in parse_arpa_unigrams(arpa_text).items()
+    }
+
+
 def build_unigram_lm(word_counts: dict[str, int], encode) -> dict[tuple[int, ...], float]:
     """Word frequency table -> {char-id tuple: log-prob} for shallow
     fusion. ``encode`` maps a word string to char ids (glyphs.encode_text).

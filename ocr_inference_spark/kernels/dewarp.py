@@ -100,6 +100,47 @@ def best_global_line(comps: list[Component], dys: list[float]) -> Component:
     return comps[idx]
 
 
+def line_control_points(
+    comp: Component, slice_width: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """(input_pts, output_pts) for TPS from a line's slice centers:
+    inputs are the (x, y) centers at the 5 slices, outputs flatten each
+    to the centers' mean y (reference: check_line_tps control points,
+    BDRC/image_dewarping.py:118-193)."""
+    centers, _ = line_slice_stats(comp, slice_width=slice_width)
+    xs = np.array(
+        [
+            comp.x + int(f * max(comp.w - slice_width, 0)) + slice_width // 2
+            for f in SLICE_FRACTIONS
+        ],
+        dtype=np.float64,
+    )
+    valid = ~np.isnan(centers)
+    xs, ys = xs[valid], centers[valid]
+    mean_y = float(ys.mean()) if ys.size else 0.0
+    pts_in = np.stack([xs, ys], axis=1)
+    pts_out = np.stack([xs, np.full(xs.shape, mean_y)], axis=1)
+    return pts_in, pts_out
+
+
+def apply_global_tps_2d(
+    ink: np.ndarray, comps: list[Component], dys: list[float]
+) -> np.ndarray:
+    """I21 true 2-D path: warp the page with a thin-plate spline through
+    the best line's control points + corner anchors (reference:
+    apply_global_tps, BDRC/image_dewarping.py:267-289; run_tps :22-74).
+    The column-shift path (fit_page_shift) stays the default — it is the
+    vertical restriction that page curl actually produces and costs one
+    gather instead of a dense spline evaluation."""
+    from .tps import tps_warp
+
+    best = best_global_line(comps, dys)
+    pts_in, pts_out = line_control_points(best)
+    if len(pts_in) < 2:
+        return ink
+    return tps_warp(ink, pts_in, pts_out)
+
+
 def fit_page_shift(
     comps: list[Component],
     width: int,

@@ -120,9 +120,12 @@ def process_page(
     tps_mode: str = "global",
 ) -> PageResult:
     """``tps_mode``: 'global' applies the page-level polynomial
-    rectification (apply_global_tps analogue); 'local' skips it and
-    rectifies each extracted line individually (TPSMode.LOCAL,
-    BDRC/data.py:74-78; get_line_images_via_local_tps)."""
+    rectification (apply_global_tps analogue, vertical column shift);
+    'global2d' uses the true 2-D thin-plate-spline warp (I21,
+    kernels/tps.py) through the best line's control points, materializing
+    the deskew first like the reference's rotate-then-TPS order; 'local'
+    skips page rectification and rectifies each extracted line
+    individually (TPSMode.LOCAL, BDRC/data.py:74-78)."""
     from time import perf_counter
 
     stage_ms: dict[str, float] = {}
@@ -163,15 +166,35 @@ def process_page(
         stage = "dewarp"
         line_comps = _line_comps(comps, width)
         ratio, _dys = distortion_ratio(line_comps, base)
-        applied = ratio > TPS_THRESHOLD and bool(line_comps) and tps_mode == "global"
-        total = base
-        if applied:
-            s2 = fit_page_shift(line_comps, width, base_shift=base)
-            total = s2 if base is None else base + s2
-        if total is not None:
-            ink = apply_column_shift(ink, total)
-            mask, comps = _detect(ink)
-            line_comps = _line_comps(comps, width)
+        applied = ratio > TPS_THRESHOLD and bool(line_comps) and tps_mode in (
+            "global",
+            "global2d",
+        )
+        if tps_mode == "global2d":
+            # reference order (BDRC/inference.py:535-589): materialize the
+            # rotation, re-detect, then thin-plate-spline on the rotated ink
+            from .kernels.dewarp import apply_global_tps_2d
+
+            if base is not None:
+                ink = apply_column_shift(ink, base)
+                mask, comps = _detect(ink)
+                line_comps = _line_comps(comps, width)
+            if applied:
+                ratio2, dys2 = distortion_ratio(line_comps)
+                if line_comps:
+                    ink = apply_global_tps_2d(ink, line_comps, dys2)
+            if base is not None or applied:
+                mask, comps = _detect(ink)
+                line_comps = _line_comps(comps, width)
+        else:
+            total = base
+            if applied:
+                s2 = fit_page_shift(line_comps, width, base_shift=base)
+                total = s2 if base is None else base + s2
+            if total is not None:
+                ink = apply_column_shift(ink, total)
+                mask, comps = _detect(ink)
+                line_comps = _line_comps(comps, width)
         _mark("dewarp")
 
         # stage 4: reading order + extraction

@@ -87,3 +87,34 @@ def test_lm_fusion_no_space_is_noop_on_best_path():
     b = beam_decode(logits, beam_width=8, top_k=1, lm={(1,): -0.5}, space_id=3)
     # no space emitted and no trailing word in LM -> same best sequence
     assert a[0][0] == b[0][0]
+
+
+def test_parse_arpa_unigrams_and_fusion():
+    """C14: ARPA 1-grams section parse + shallow-fusion table
+    (reference: parse_arpa_unigrams, BDRC/utils.py:395-427)."""
+    import math
+
+    from ocr_inference_spark.glyphs import encode_text
+    from ocr_inference_spark.kernels.ctc import arpa_unigram_lm, parse_arpa_unigrams
+
+    arpa = "\n".join([
+        "\\data\\",
+        "ngram 1=5",
+        "ngram 2=2",
+        "",
+        "\\1-grams:",
+        "-1.0\t<s>\t-0.30103",
+        "-0.5\tthe\t-0.2",
+        "-2.0\tfox",
+        "",
+        "# a comment",
+        "-3.0\t</s>",
+        "\\2-grams:",
+        "-0.1\tthe fox",
+        "\\end\\",
+    ])
+    uni = parse_arpa_unigrams(arpa)
+    assert uni == {"the": -0.5, "fox": -2.0}
+    lm = arpa_unigram_lm(arpa, encode_text)
+    key = tuple(int(i) for i in encode_text("the"))
+    assert math.isclose(lm[key], -0.5 * math.log(10.0))
