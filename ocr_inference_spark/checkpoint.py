@@ -91,6 +91,7 @@ def run_resumable(
     metrics_path: str,
     job_id: str,
     n_buckets: int = 32,
+    strategy: str = "shuffle",
 ) -> None:
     """Process only unfinished buckets; append metrics; idempotent output.
 
@@ -111,7 +112,7 @@ def run_resumable(
     # prune finished work before any page bytes are read (broadcast anti-join)
     todo_docs = docs_b.join(F.broadcast(done), "bucket", "left_anti")
 
-    ocr = recognize_pages(spark, todo_docs.drop("bucket"), pages_df)
+    ocr = recognize_pages(spark, todo_docs.drop("bucket"), pages_df, strategy=strategy)
     ocr.cache()
 
     out = reassemble_spans(todo_docs.drop("bucket"), ocr)

@@ -259,6 +259,65 @@ def embedding_near_dup(
     return scored.where(F.col("cosine") >= threshold)
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster_id)
+    where cluster_id = min id reachable through the pair graph — the
+    canonicalization step of a dedup pipeline (keep one doc per
+    cluster, drop the rest).
+
+    Deterministic iterative min-label propagation (the standard
+    large-graph CC formulation, cf. Hash-to-Min / Spark GraphX CC): each
+    round joins every node's current label against the (symmetrized)
+    edge list and takes the min over neighbors; converges in
+    O(log(diameter)) rounds for dup clusters (which are near-cliques, so
+    usually 2-3). Each round is one broadcast-or-hash equi-join + one
+    aggregate — no driver-side loops over data, only over rounds.
+
+    Input: (id_a, id_b) pairs (any extra columns ignored).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        # neighbor labels: for each node, min label among its neighbors
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 64-bit SimHash over whitespace tokens.
 

@@ -42,10 +42,21 @@ from .page import process_page
 from .schemas import DOCUMENTS_SCHEMA, OCR_LINES_SCHEMA
 
 
+def exploded_spans(docs_df: DataFrame) -> DataFrame:
+    """documents -> one row per span (kind-null sentinel row for
+    empty-spans documents). Both the media projection and the
+    reassembly originals derive from this single expression; each
+    consumer's column pruning reaches the scan, so the two passes read
+    only the spans column (at 100 TB the docs table is read twice but
+    narrow — caching the exploded relation is the caller's call via
+    ``.cache()`` when it fits)."""
+    return docs_df.select("doc_id", F.explode_outer("spans").alias("s"))
+
+
 def media_spans(docs_df: DataFrame) -> DataFrame:
     """documents -> one row per media span (doc_id, offset, media_ref)."""
     return (
-        docs_df.select("doc_id", F.explode("spans").alias("s"))
+        exploded_spans(docs_df)
         .where(F.col("s.kind") == F.lit("media"))
         .where(F.col("s.media_ref").isNotNull())
         .select(
@@ -104,21 +115,39 @@ def recognize_pages(
     pages_df: DataFrame,
     n_partitions: int | None = None,
     repartition: bool = True,
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """Media spans -> per-line OCR rows (OCR_LINES_SCHEMA).
 
-    ``repartition=True`` (default) forces an explicit hash exchange on
-    media_ref ahead of the kernel: page-granular distribution (a hot
-    multi-page document cannot skew a partition) at a partition count
-    AQE will not coalesce — important because AQE sizes partitions by
-    bytes, not the CPU cost that dominates this stage. At full corpus
-    scale, where the pages join is itself a shuffle join keyed on
-    media_ref, pass ``repartition=False`` so the kernel reuses the
-    join's partitioning and the page bytes cross the network once, not
-    twice.
+    ``strategy`` picks how page bytes meet their media spans — the
+    decision that dominates this job's shuffle bytes, because a page row
+    is ~KBs of image while a span row is ~50 B:
+
+    - ``"shuffle"`` (default): hash join on media_ref, then an explicit
+      page-granular exchange ahead of the kernel (a hot multi-page
+      document cannot skew a partition) at a partition count AQE will
+      not coalesce — AQE sizes partitions by bytes, not the CPU cost
+      that dominates this stage. Page bytes cross the network twice.
+      ``repartition=False`` drops the second exchange and reuses the
+      join's partitioning (once).
+    - ``"broadcast"``: broadcast the SPAN side onto the pages relation —
+      page bytes never move. This is the 100-TB-correct shape whenever
+      the pages table is already well-distributed (bucketed by
+      media_ref, or any even partitioning): ship the small side to the
+      fat side, never the reverse. At full corpus scale the global span
+      relation exceeds broadcast size, but per-bucket it is exactly the
+      bucket-local spans — i.e. a bucketed sort-merge join where only
+      span-sized rows shuffle; the local-mode broadcast is that plan's
+      single-JVM expression. Kernel parallelism = pages partitioning
+      (caller ensures it; see jobs/ and scripts/bench_scaling.py).
     """
     weight_bc = spark.sparkContext.broadcast(serialize_weights())
     media = media_spans(docs_df)
+    if strategy == "broadcast":
+        joined = pages_df.select("media_ref", "content").join(
+            F.broadcast(media), "media_ref"
+        )
+        return joined.mapInPandas(_make_ocr_kernel(weight_bc), schema=OCR_LINES_SCHEMA)
     joined = media.join(pages_df.select("media_ref", "content"), "media_ref")
     if repartition:
         if n_partitions is None:
@@ -219,7 +248,7 @@ def reassemble_spans(docs_df: DataFrame, ocr_df: DataFrame) -> DataFrame:
     that the final filter drops, so the document survives with an empty
     spans array instead of vanishing from the output.
     """
-    originals = docs_df.select("doc_id", F.explode_outer("spans").alias("s")).select(
+    originals = exploded_spans(docs_df).select(
         "doc_id",
         F.coalesce(F.col("s.offset"), F.lit(-1)).alias("src_offset"),
         F.lit(0).alias("sub"),
@@ -262,9 +291,10 @@ def extract_spans(
     docs_df: DataFrame,
     pages_df: DataFrame,
     n_partitions: int | None = None,
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """End-to-end: documents + pages -> output documents (same schema)."""
-    ocr = recognize_pages(spark, docs_df, pages_df, n_partitions)
+    ocr = recognize_pages(spark, docs_df, pages_df, n_partitions, strategy=strategy)
     out = reassemble_spans(docs_df, ocr)
     # pin the declared output schema
     assert [f.name for f in out.schema.fields] == [

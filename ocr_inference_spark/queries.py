@@ -600,6 +600,39 @@ def q25_minhash_lsh_pairs(spark, sf_dir):
 ORACLE_Q25 = ORACLE_Q24
 
 
+def q37_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster canonicalization: connected components over the
+    exact-Jaccard near-dup pairs (q24), cluster_id = min reachable doc
+    id — the keep-one-per-cluster step of a dedup pipeline. Spark side
+    is iterative min-label propagation (one equi-join + aggregate per
+    round); oracle is a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.25)
+    return dd.dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+ORACLE_Q37 = (
+    "WITH RECURSIVE pairs AS ("
+    + _JACCARD_ORACLE_TMPL.format(max_id=60, threshold=0.25)
+    + """
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, rc.r FROM edges e JOIN reach rc ON e.d = rc.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+)
+
+
 def q26_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs — no SQL oracle (xxhash64 band keys are not
     reproducible in DuckDB); driver records rows-only."""
@@ -843,6 +876,7 @@ QUERIES = {
     "q34_detect_lines": q34_detect_lines,
     "q35_embedding_near_dup": q35_embedding_near_dup,
     "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
+    "q37_dup_clusters": q37_dup_clusters,
 }
 
 ORACLES = {
@@ -876,6 +910,7 @@ ORACLES = {
     "q32_cer": ORACLE_Q32,
     "q33_encoding_roundtrip": ORACLE_Q33,
     "q35_embedding_near_dup": ORACLE_Q35,
+    "q37_dup_clusters": ORACLE_Q37,
     # q26/q28/q30/q31/q34: intentionally no oracle (engine-specific
     # hashes / non-SQL-expressible kernels) — rows-only checks.
 }

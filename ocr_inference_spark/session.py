@@ -9,8 +9,10 @@ from pyspark.sql import SparkSession
 # Pages are fat rows (one encoded image per row): keep Arrow batches
 # small so a mapInPandas batch bounds executor memory (SURVEY.md §4
 # "vectorized execution" — the reference batches 8-12 pages per
-# DataLoader step, infer_lines_cli.py:58-62).
-ARROW_BATCH_ROWS = 64
+# DataLoader step, infer_lines_cli.py:58-62). 32 measured best in the
+# round-2 sweep (16/32/64/128/256) — small batches keep the Python
+# workers streaming behind the JVM scan instead of bursting.
+ARROW_BATCH_ROWS = 32
 
 
 def get_spark(

@@ -108,3 +108,17 @@ def test_cosine_topk_exact(spark):
     out = cosine_topk(df, df.where("vec_id = 0"), k=2).collect()
     ranked = sorted((r["rank"], r["neighbor_id"]) for r in out)
     assert ranked == [(1, 1), (2, 2)]  # closest first; ties by id
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chain a-b, b-c plus isolated pair d-e: {a,b,c} -> min label a,
+    {d,e} -> d. Nodes appear even when only on the id_b side."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=3), Row(id_a=1, id_b=2), Row(id_a=7, id_b=9)]
+    )
+    out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}

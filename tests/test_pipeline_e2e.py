@@ -239,3 +239,15 @@ def test_stage_audit_rows(spark, tmp_path):
     m2 = spark.read.parquet(met2)
     failed = m2.where("status = 'failed'").collect()
     assert any(r["stage"] == "decode" for r in failed)
+
+
+def test_broadcast_strategy_equals_shuffle(spark, corpus):
+    """recognize_pages strategy='broadcast' (page bytes never shuffle)
+    must produce byte-identical output span sequences to the default
+    shuffle-join plan."""
+    docs_df, pages_df, _ = corpus
+    a = {r["doc_id"]: _tuples(r["spans"])
+         for r in extract_spans(spark, docs_df, pages_df).collect()}
+    b = {r["doc_id"]: _tuples(r["spans"])
+         for r in extract_spans(spark, docs_df, pages_df, strategy="broadcast").collect()}
+    assert a == b
