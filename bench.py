@@ -59,7 +59,8 @@ def main() -> None:
 
     for name in HEADLINE:
         best = None
-        for _ in range(2):  # best-of-2: multi-tenant steal spikes on this VM
+        for _ in range(3):  # best-of-3: multi-tenant steal spikes double
+            # sub-second queries on this VM (see BENCH/NOTES_r2.md)
             t0 = time.perf_counter()
             _sink(QUERIES[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
