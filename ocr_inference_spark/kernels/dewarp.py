@@ -187,6 +187,11 @@ def fit_page_shift(
     coef, *_ = np.linalg.lstsq(A, y, rcond=None)
     poly = coef[n_lines:]
     grid = np.arange(width, dtype=np.float64) / max(width - 1, 1)
+    # evaluate only INSIDE the observed baseline x-range; outside it hold
+    # the boundary value — a degree-9 polynomial extrapolates explosively
+    # past the fitted span and would shred page-edge regions (margins,
+    # header/footer ends) that carry no baseline samples
+    grid = np.clip(grid, x.min(), x.max())
     fitted = sum(poly[d - 1] * grid**d for d in range(1, deg + 1))
     return np.rint(fitted - np.median(fitted)).astype(np.int64)
 

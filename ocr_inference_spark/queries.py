@@ -820,6 +820,67 @@ def q36_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q38_layout_regions(spark, sf_dir):
+    """LAYOUT-mode region classification (LineMode.LAYOUT / F4/F5):
+    per-class region counts over synthesized pages (rows-only — the
+    classifier is a page kernel)."""
+    from .layout import detect_layout
+    from .synth import synth_corpus
+
+    _, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
+    return (
+        detect_layout(spark, pages)
+        .groupBy("cls")
+        .agg(F.count("*").alias("n_regions"))
+    )
+
+
+def q39_training_selection(spark, sf_dir):
+    """Composite training-set selection — the end-to-end shape of an
+    LLM-data pipeline: quality gate + language filter + exact-dedup
+    canonicalization (keep the min doc_id of each duplicate group)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(dd.normalize(F.col("text"))).alias("dup_key"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        tx.lang_id(F.col("text")).alias("lang"),
+    )
+    canon = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        keyed.join(canon, "dup_key")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+        .select("doc_id", "quality")
+    )
+
+
+ORACLE_Q39 = f"""
+WITH scored AS (
+  SELECT doc_id,
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dup_key,
+    round((
+        least(length(text) / 200.0, 1.0)
+      + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''\\-]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 4.0, 1.0))
+      + (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 4.0, 1.0))
+      + least((len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> list_contains({tx.STOPWORDS!r}, w))) * 1.0
+            / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)) * 3.0, 1.0)
+    ) / 4.0, 6) AS quality,
+    CASE
+      WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0 / greatest(length(text),1) < 0.5 THEN 'xx'
+      WHEN (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> list_contains({tx.STOPWORDS!r}, w))) * 1.0
+            / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)) > 0.08 THEN 'en'
+      ELSE 'und' END AS lang
+  FROM documents
+)
+SELECT doc_id, quality FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY dup_key) AS keep_id FROM scored
+) WHERE doc_id = keep_id AND quality >= 0.5 AND lang = 'en'
+"""
+
+
 def q34_detect_lines(spark, sf_dir):
     """EP3 detection-only path over synthesized pages (rows-only)."""
     from .pipeline import detect_lines
@@ -877,6 +938,8 @@ QUERIES = {
     "q35_embedding_near_dup": q35_embedding_near_dup,
     "q36_embedding_near_dup_lsh": q36_embedding_near_dup_lsh,
     "q37_dup_clusters": q37_dup_clusters,
+    "q38_layout_regions": q38_layout_regions,
+    "q39_training_selection": q39_training_selection,
 }
 
 ORACLES = {
@@ -911,6 +974,7 @@ ORACLES = {
     "q33_encoding_roundtrip": ORACLE_Q33,
     "q35_embedding_near_dup": ORACLE_Q35,
     "q37_dup_clusters": ORACLE_Q37,
+    "q39_training_selection": ORACLE_Q39,
     # q26/q28/q30/q31/q34: intentionally no oracle (engine-specific
     # hashes / non-SQL-expressible kernels) — rows-only checks.
 }

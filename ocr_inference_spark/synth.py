@@ -57,16 +57,21 @@ def page_lines_for(text: str, n_lines: int = 3, width: int = 28) -> list[str]:
 def _style_for(ref: str) -> dict:
     h = int(hashlib.md5(ref.encode()).hexdigest()[:8], 16)
     style = h % 4
+    kw = {
+        # page furniture the pipeline must strip (sub-line noise via the
+        # size filter, line-shaped captions via the text-area filter) —
+        # golden lines are unaffected, so span equality still holds
+        "noise": bool((h >> 20) & 1),
+        "caption": bool((h >> 21) & 1),
+    }
     if style == 1:
-        return {"skew_deg": 0.8 + (h >> 4) % 300 / 100.0 * (1 if h & 1 else -1)}
-    if style == 2:
-        return {"warp_amp": 36 + (h >> 6) % 16}
-    if style == 3:
-        return {
-            "skew_deg": 0.8 + (h >> 4) % 200 / 100.0,
-            "warp_amp": 36 + (h >> 6) % 12,
-        }
-    return {}
+        kw["skew_deg"] = 0.8 + (h >> 4) % 300 / 100.0 * (1 if h & 1 else -1)
+    elif style == 2:
+        kw["warp_amp"] = 36 + (h >> 6) % 16
+    elif style == 3:
+        kw["skew_deg"] = 0.8 + (h >> 4) % 200 / 100.0
+        kw["warp_amp"] = 36 + (h >> 6) % 12
+    return kw
 
 
 def _render_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
