@@ -2,10 +2,13 @@
 
 ``entry(spark)`` runs the flagship OCR span-extraction pipeline on an
 interleaved corpus synthesized deterministically from the sf0.001
-documents table (pages rendered inside executors). ``queries()`` /
+documents table (pages rendered inside executors; pages carry noise /
+caption furniture the pipeline must strip). ``queries()`` /
 ``oracle_sql()`` expose the operator inventory of SURVEY.md §2 plus the
-training-data operators (dedup, similarity, text analysis); see
-ocr_inference_spark/queries.py for the implementations and the
+training-data operators (dedup incl. LSH blocking and duplicate-cluster
+canonicalization, ANN similarity, text analysis, layout classes,
+composite training-set selection) — 39 queries, 32 with DuckDB oracles;
+see ocr_inference_spark/queries.py for the implementations and the
 column-aliasing / decimal-sum conventions that keep the Spark and
 DuckDB results hash-identical.
 """
