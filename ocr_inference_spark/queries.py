@@ -811,12 +811,19 @@ WHERE round(list_dot_product(a.e, b.e) /
 def q36_embedding_near_dup_lsh(spark, sf_dir):
     """Headline embedding near-dup: hyperplane-LSH-blocked candidates +
     exact cosine verify — the 10^12-row scale path (q35 keeps the exact
-    all-pairs baseline as its small-n oracle). Approximate by design, so
-    rows-only here; recall >= 0.9 vs the exact pairs is pinned in
+    all-pairs baseline as its small-n oracle). Plane count scales with
+    log2 of the corpus so buckets stay ~64 rows regardless of scale
+    (fixed planes give coarse buckets and quadratic in-bucket pair
+    counts at larger n). Approximate by design, so rows-only here;
+    recall >= 0.9 vs the exact pairs is pinned in
     tests/test_dedup_similarity.py."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes = max(3, int(math.ceil(math.log2(max(n, 64) / 64))))
     return dd.embedding_near_dup(
-        emb, "vec_id", "embedding", threshold=0.4, n_planes=3, n_tables=12
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=n_planes, n_tables=12
     )
 
 
