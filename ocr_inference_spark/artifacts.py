@@ -116,6 +116,19 @@ def debug_page_artifacts(content: bytes, session) -> list[dict]:
             art("lines", f"line_{i:03d}.png", "image",
                 png_encode((img * 255).astype(np.uint8)))
         )
+    # I38 preview/overlay render (generate_line_preview + the
+    # addWeighted overlays, reference BDRC/utils.py:704-710,918-962):
+    # detected line regions blended red over the (rectified) page
+    page = np.where(ink > 0, np.uint8(25), np.uint8(235))
+    preview = np.stack([page] * 3, axis=-1).astype(np.float64)
+    red = np.array([255.0, 0.0, 0.0])
+    for c in ordered:
+        for row, x0, x1 in c.runs:
+            preview[row, x0:x1] = 0.5 * preview[row, x0:x1] + 0.5 * red
+    out.append(
+        art("results", "line_preview.png", "image",
+            png_encode(np.clip(preview, 0, 255).astype(np.uint8)))
+    )
     return out
 
 

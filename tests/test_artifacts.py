@@ -20,6 +20,7 @@ def test_debug_page_artifacts_stage_coverage():
     assert ("dewarping", "tps_analysis.json") in names
     assert ("lines", "line_data.json") in names
     assert ("lines", "line_000.png") in names and ("lines", "line_001.png") in names
+    assert ("results", "line_preview.png") in names
     # payloads are real: mask decodes, contour json parses with 2 lines
     by_name = {(a["stage"], a["name"]): a for a in arts}
     mask = png_decode(by_name[("detection", "line_mask.png")]["payload"])
@@ -29,6 +30,10 @@ def test_debug_page_artifacts_stage_coverage():
     assert len(det["contours"]) == len(LINES)
     tps = json.loads(by_name[("dewarping", "tps_analysis.json")]["payload"])
     assert abs(tps["page_angle"]) > 0.5  # the rendered skew was detected
+    prev = png_decode(by_name[("results", "line_preview.png")]["payload"])
+    assert prev.ndim == 3 and prev.shape[2] == 3  # RGB overlay
+    # line regions are red-blended: red channel exceeds green there
+    assert (prev[:, :, 0].astype(int) - prev[:, :, 1].astype(int)).max() > 80
 
 
 def test_debug_artifacts_table_and_job_dir(spark, tmp_path):
