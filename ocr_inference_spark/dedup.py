@@ -191,7 +191,7 @@ def embedding_near_dup(
     (hash-join-plannable — never a nested-loop pair scan), deduped, then
     exact-cosine verified. Multi-table blocking recovers near pairs a
     single table splits across a plane."""
-    from .similarity import _dot, _norm, _hyperplane_sign
+    from .similarity import _dot, _norm, table_buckets
 
     base = (
         df.select(
@@ -203,40 +203,44 @@ def embedding_near_dup(
     )
 
     if n_planes > 0:
-        tables = []
-        for t in range(n_tables):
-            plane = F.lit(0).cast("long")
-            for p in range(n_planes):
-                plane = plane.bitwiseOR(
-                    F.shiftleft(
-                        _hyperplane_sign(F.col("v"), t * n_planes + p, dim).cast(
-                            "long"
-                        ),
-                        p,
-                    )
-                )
-            tables.append(plane)
+        # Candidate generation carries ONLY (t, bucket, id): a pair that
+        # collides in several tables is deduped while the shuffle rows
+        # are two ids wide, and the 64-dim vectors are re-joined once per
+        # DISTINCT pair for the verify. (Carrying the vectors through
+        # the self-join + dropDuplicates multiplies shuffle volume by
+        # the vector width — at 10^12 rows that is the whole job.)
         blocked = base.select(
-            "id", "v", "nrm", F.posexplode(F.array(*tables)).alias("t", "bucket")
-        )
+            "id",
+            F.posexplode(table_buckets(F.col("v"), n_tables, n_planes, dim)).alias(
+                "t", "bucket"
+            ),
+        ).localCheckpoint(eager=True)
+        # ^ materialized once: the a/b self-join below would otherwise
+        # re-scan the corpus and re-evaluate every plane dot twice —
+        # at 10^12 rows that is two extra full passes for rows that are
+        # (id, byte, long) narrow.
         a = blocked.alias("a")
         b = blocked.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.t") == F.col("b.t"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"),
-                F.col("a.nrm").alias("na"),
-                F.col("b.v").alias("vb"),
-                F.col("b.nrm").alias("nb"),
-            )
+        cand = (
+            a.join(b, ["t", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.join(
+            base.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            base.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
         )
     else:
         a = base.alias("a")
@@ -266,12 +270,21 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     cluster, drop the rest).
 
     Deterministic iterative min-label propagation (the standard
-    large-graph CC formulation, cf. Hash-to-Min / Spark GraphX CC): each
-    round joins every node's current label against the (symmetrized)
-    edge list and takes the min over neighbors; converges in
-    O(log(diameter)) rounds for dup clusters (which are near-cliques, so
-    usually 2-3). Each round is one broadcast-or-hash equi-join + one
-    aggregate — no driver-side loops over data, only over rounds.
+    large-graph CC formulation, cf. Spark GraphX CC): each round joins
+    every node's current label against the (symmetrized) edge list and
+    takes the min over neighbors. Plain neighbor propagation converges
+    in O(diameter) rounds — dup clusters are near-cliques (diameter 2-3)
+    so this terminates in a handful of rounds in practice; a >50-hop
+    chain would need the large-star/small-star or hash-to-min variants.
+    If ``max_iters`` is exhausted before convergence the function raises
+    rather than silently returning split clusters. Each round is one
+    broadcast-or-hash equi-join + one aggregate — no driver-side loops
+    over data, only over rounds.
+
+    The symmetrized edge list is eagerly localCheckpoint'ed ONCE before
+    the loop: without it every round would re-execute the full upstream
+    pair pipeline (e.g. the exact-Jaccard shingle self-join — the
+    100-TB analogue of re-reading the corpus per iteration).
 
     Input: (id_a, id_b) pairs (any extra columns ignored).
     """
@@ -281,12 +294,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)  # materialize: rounds join a fixed edge list
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: for each node, min label among its neighbors
         neigh = (
@@ -314,7 +329,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters or "
+            "switch to a large-star/small-star contraction"
+        )
     return labels
 
 

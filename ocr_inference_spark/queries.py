@@ -29,6 +29,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata only — no Spark job, no
+    data scan. At 10^12 rows a ``df.count()`` just to size LSH planes
+    would be a second full pass over the table; footers (or catalog
+    stats on a real Iceberg table) carry the exact count for free."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
+
+
 def _money(col):
     return F.col(col).cast(DEC)
 
@@ -816,11 +826,12 @@ def q36_embedding_near_dup_lsh(spark, sf_dir):
     (fixed planes give coarse buckets and quadratic in-bucket pair
     counts at larger n). Approximate by design, so rows-only here;
     recall >= 0.9 vs the exact pairs is pinned in
-    tests/test_dedup_similarity.py."""
+    tests/test_dedup_similarity.py. n comes from parquet footer
+    metadata (catalog stats in a real deployment) — no extra scan."""
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _parquet_row_count(sf_dir, "embeddings")
     n_planes = max(3, int(math.ceil(math.log2(max(n, 64) / 64))))
     return dd.embedding_near_dup(
         emb, "vec_id", "embedding", threshold=0.4, n_planes=n_planes, n_tables=12

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,15 +76,76 @@ def cosine_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic hyperplanes, precomputed ON THE DRIVER.
+#
+# The plane component for dimension j of plane `seed` is
+#   sign(xxhash64(j, seed))  — i.e. Spark's F.xxhash64(lit(j), lit(seed))
+# mapped to ±1 by its low bit. That value is data-INdependent, so
+# evaluating it inside the row expression (as round 2 did, via
+# F.transform(F.sequence(...), xxhash64)) re-hashed dim × planes × tables
+# components PER ROW (~5.4k redundant hash evals/row for q36). Here the
+# exact same Spark xxhash64 values are reproduced in pure Python once per
+# (seed, dim) on the driver and embedded as literal arrays; per row only
+# the irreducible zip_with dot product remains. Bucket values are
+# bit-identical to the round-2 plans (verified: Python replication of
+# Spark's XxHash64-over-ints matches F.xxhash64 output exactly).
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_int(i: int, seed: int) -> int:
+    """XXH64 of one 4-byte int — Spark XxHash64's per-INT step."""
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _P1) & _M64
+    h = (((((h << 23) | (h >> 41)) & _M64) * _P2) + _P3) & _M64
+    return _xxh_fmix(h)
+
+
+def spark_xxhash64_ints(values, seed: int = 42) -> int:
+    """Replicates ``F.xxhash64(lit(v0), lit(v1), ...)`` for int inputs:
+    Spark chains the per-column hash, starting from seed 42. Returns the
+    unsigned 64-bit value (Spark reports it as a signed long)."""
+    h = seed & _M64
+    for v in values:
+        h = _xxh_int(v, h)
+    return h
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(plane_seed: int, dim: int) -> tuple:
+    """±1.0 components of deterministic hyperplane ``plane_seed`` —
+    identical to the former per-row ``pmod(xxhash64(j, seed), 2)`` test
+    (parity of the hash is representation-independent)."""
+    return tuple(
+        1.0 if (spark_xxhash64_ints((j, plane_seed)) & 1) == 0 else -1.0
+        for j in range(dim)
+    )
+
+
 def _hyperplane_sign(vec, plane_seed: int, dim: int):
     """Sign bit of <v, h_seed> for a deterministic pseudo-random
-    hyperplane: component j of h = xxhash64(j, seed) mapped to ±1."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.when(
-            F.pmod(F.xxhash64(j, F.lit(plane_seed)), F.lit(2)) == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0)),
-    )
+    hyperplane: component j of h = xxhash64(j, seed) mapped to ±1.
+    The plane is a driver-side literal array; per row this is one
+    zip_with dot product. (Kept for single-plane callers/tests — the
+    hot paths use :func:`table_buckets`, which folds ALL planes into
+    one expression so the Catalyst tree stays small.)"""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane_seed, dim)])
     return (
         F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x * s),
@@ -93,14 +156,62 @@ def _hyperplane_sign(vec, plane_seed: int, dim: int):
     ).cast("int")
 
 
+def plane_matrix(n_planes_total: int, dim: int):
+    """Literal ``array<array<double>>`` of ±1 plane components for seeds
+    ``0..n_planes_total-1``, parsed from ONE SQL string. Building the
+    same matrix from ~n·dim individual ``F.lit`` nodes costs seconds of
+    py4j round-trips and Catalyst analysis on a 5k-node tree; one parsed
+    expression is ~20 ms and constant-folds to a single Literal."""
+    rows = ",".join(
+        "array("
+        + ",".join(("1.0D" if s > 0 else "-1.0D") for s in _plane_signs(seed, dim))
+        + ")"
+        for seed in range(n_planes_total)
+    )
+    return F.expr(f"array({rows})")
+
+
+def table_buckets(vec, n_tables: int, n_planes: int, dim: int):
+    """``array<long>`` of per-table LSH bucket ids (index = table id).
+
+    ONE nested higher-order expression: for table t, bucket =
+    OR over p of (sign(<v, plane_{t·n_planes+p}>) << p), planes drawn
+    from a driver-side literal matrix. Bit-identical to evaluating each
+    plane's xxhash64-derived signs per row (the round-2 formulation) —
+    verified by exceptAll — but the per-row work is just the
+    irreducible n_tables·n_planes dot products, and the Catalyst tree
+    is ~10 nodes instead of ~5,400."""
+    P = plane_matrix(n_tables * n_planes, dim)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.element_at(P, t * n_planes + p + 1),
+                            lambda x, s: x * s,
+                        ),
+                        F.lit(0.0).cast("double"),
+                        lambda a, w: a + w,
+                    )
+                    > 0
+                ).cast("long")
+                # bit << p, written as *2^p because shiftleft's shift
+                # operand must be a literal int, not a lambda variable
+                * F.pow(F.lit(2.0), p).cast("long")
+            ),
+        ),
+    )
+
+
 def lsh_bucket(vec, n_planes: int, dim: int):
-    """Concatenated hyperplane sign bits -> integer bucket id."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bucket = bucket.bitwiseOR(
-            F.shiftleft(_hyperplane_sign(vec, p, dim).cast("long"), p)
-        )
-    return bucket
+    """Concatenated hyperplane sign bits -> integer bucket id
+    (single-table convenience wrapper over :func:`table_buckets`)."""
+    return F.element_at(table_buckets(vec, 1, n_planes, dim), 1)
 
 
 def lsh_topk(
@@ -116,51 +227,44 @@ def lsh_topk(
     """Approximate top-k: multi-table hyperplane LSH candidates, exact
     cosine re-rank. Each of ``n_tables`` tables offsets the plane seeds,
     so a near pair missed by one table is caught by another."""
-    def table_buckets(df):
-        """array of per-table bucket ids (index = table id)."""
-        tables = []
-        for t in range(n_tables):
-            plane = F.lit(0).cast("long")
-            for p in range(n_planes):
-                plane = plane.bitwiseOR(
-                    F.shiftleft(
-                        _hyperplane_sign(
-                            F.col(vec_col), t * n_planes + p, dim
-                        ).cast("long"),
-                        p,
-                    )
-                )
-            tables.append(plane)
-        return F.array(*tables)
+    buckets = table_buckets(F.col(vec_col), n_tables, n_planes, dim)
 
     # Explode both sides to (table_id, bucket) rows and EQUI-join on
     # ["t", "bucket"]. An OR-of-equalities condition cannot be planned as
     # a hash join (Spark falls back to BroadcastNestedLoopJoin, i.e. the
     # same O(N·Q) pair scan as brute force); the exploded equi-join is a
     # real hash/bucket join that only touches same-bucket pairs.
+    # Candidate generation on bare ids: the (t, bucket) equi-join and
+    # the multi-table dedup shuffle rows two ids wide; corpus vectors
+    # are re-joined once per DISTINCT candidate for the exact re-rank
+    # (carrying cvec through dropDuplicates would multiply the shuffle
+    # by the vector width).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("cnorm"),
-        F.posexplode(table_buckets(corpus[vec_col])).alias("t", "bucket"),
-    ).where(F.col("cnorm") > 0)  # cosine undefined for zero vectors
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.posexplode(table_buckets(queries[vec_col])).alias("t", "bucket"),
+        F.posexplode(buckets).alias("t", "bucket"),
     )
     cand = (
         c.join(F.broadcast(q), ["t", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         # a pair may collide in several tables — dedup before re-ranking
-        .select("query_id", "neighbor_id", "cvec", "cnorm")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    ).where(F.col("cnorm") > 0)  # cosine undefined for zero vectors
     qvecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
     ).where(F.col("qnorm") > 0)
-    scored = cand.join(F.broadcast(qvecs), "query_id").withColumn(
+    scored = cand.join(cvecs, "neighbor_id").join(F.broadcast(qvecs), "query_id").withColumn(
         "cosine",
         F.round(
             _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
