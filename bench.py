@@ -41,11 +41,12 @@ HEADLINE = [
     "q27_ann_cosine_topk",
     "q29_tumbling_window",
     # round-2 additions (new keys — r1 rows stay delta-comparable).
-    # q37_dup_clusters is deliberately NOT benched: an iterative
-    # multi-job query swings 3x with co-tenant load on this VM; its
-    # correctness is gated by the driver contract instead.
     "q36_embedding_near_dup_lsh",
     "q39_training_selection",
+    # round-3 addition: stable now that dup_clusters materializes its
+    # edge list before the CC rounds (the r2 instability was each round
+    # re-executing the Jaccard shingle self-join)
+    "q37_dup_clusters",
 ]
 
 

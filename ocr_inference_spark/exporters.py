@@ -57,14 +57,15 @@ def ocr_lines_to_jsonl(ocr_df: DataFrame, out_dir: str) -> None:
 
 
 def _xml_escape(col):
-    """Escape &, <, > for XML text/attribute content (& first — the
-    reference gets this for free from xml.etree; raw concat without it
-    yields malformed PageXML for any text containing markup chars)."""
-    return F.replace(
-        F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
-        F.lit(">"),
-        F.lit("&gt;"),
-    )
+    """Escape &, <, >, \" for XML text AND attribute content (& first —
+    the reference gets this for free from xml.etree; raw concat without
+    it yields malformed PageXML for any text containing markup chars,
+    and a media_ref containing a double quote would break the
+    imageFilename attribute)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit('"'), F.lit("&quot;"))
 
 
 def _points_string(contour):
@@ -93,14 +94,32 @@ def ocr_lines_to_pagexml(
     ocr_df: DataFrame, out_dir: str, det_df: DataFrame | None = None
 ) -> None:
     """K2 PageXML sink (PageXMLExporter, BDRC/exporter.py:162-276):
-    PcGts document per page with reading-order indexed lines; when a
-    detection table is supplied, each TextLine carries its polygon
-    ``<Coords points="x,y x,y ..."/>`` like build_xml_document
-    (reference: BDRC/exporter.py:162-233). Pure string expressions."""
+    PcGts document per page with reading-order indexed lines; each
+    TextLine carries its polygon ``<Coords points="x,y x,y ..."/>``
+    like build_xml_document (reference: BDRC/exporter.py:162-233).
+    Pure string expressions.
+
+    Coords come from the OCR rows' own ``contour`` column when present
+    — the SAME rectified geometry the text was recognized in, exactly
+    like the reference (which exports contours from the inference run
+    itself). Passing ``det_df`` overrides with a detection table, but
+    that table MUST come from an identical-geometry run: detect_lines
+    segments the UN-rectified ink, so on skewed/warped pages its line
+    count/order can differ from the OCR pass and a TextLine would get
+    the wrong polygon."""
     lines_src = ocr_df.where(F.col("status") == "success")
     if det_df is not None:
         polys = detection_line_polygons(det_df)
-        lines_src = lines_src.join(polys, ["media_ref", "line_rank"], "left")
+        lines_src = lines_src.drop("points").join(
+            polys, ["media_ref", "line_rank"], "left"
+        )
+    elif "contour" in ocr_df.columns:
+        lines_src = lines_src.withColumn(
+            "points",
+            F.when(
+                F.col("contour").isNotNull(), _points_string(F.col("contour"))
+            ),
+        )
     else:
         lines_src = lines_src.withColumn("points", F.lit(None).cast("string"))
     line_xml = F.transform(

@@ -52,16 +52,23 @@ def beam_decode(
     pairs, best first. Deterministic: ties broken by sequence.
 
     ``lm`` enables shallow LM fusion (the KenLM hook of the reference,
-    BDRC/inference.py:95-106,386-398): a unigram table mapping a word
-    (tuple of char ids) to a log-prob, applied with weight ``lm_alpha``
-    whenever a word completes at ``space_id``; unseen words receive the
-    table's floor (min score - 2). The LM term biases pruning and the
-    final ranking but the reported score stays acoustic+LM, matching
-    shallow-fusion semantics.
+    BDRC/inference.py:95-106,386-398), applied with weight ``lm_alpha``
+    whenever a word completes at ``space_id``. Two table shapes:
+
+    - a plain dict mapping a word (tuple of char ids) to a log-prob —
+      unigram fusion; unseen words receive the table's floor
+      (min score - 2).
+    - an :class:`NGramLM` — bigram Katz-backoff fusion (the reference's
+      KenLM is an n-gram backoff model; we score the completed word
+      conditioned on the previous word, backing off to the unigram).
+
+    The LM term biases pruning and the final ranking but the reported
+    score stays acoustic+LM, matching shallow-fusion semantics.
     """
     logp = log_softmax(logits)
     T, V = logp.shape
-    floor = (min(lm.values()) - 2.0) if lm else 0.0
+    is_ngram = isinstance(lm, NGramLM)
+    floor = (min(lm.values()) - 2.0) if (lm and not is_ngram) else 0.0
 
     def lm_word_score(prefix: tuple[int, ...]) -> float:
         """Score of the word ending at prefix's tail (called at a space)."""
@@ -73,6 +80,14 @@ def beam_decode(
         word = prefix[j:]
         if not word:
             return 0.0
+        if is_ngram:
+            # previous word = the span between the two preceding spaces
+            k = j - 1  # prefix[k] is the space closing the previous word
+            i = k
+            while i > 0 and prefix[i - 1] != space_id:
+                i -= 1
+            prev = prefix[i:k] if k > 0 else ()
+            return lm_alpha * lm.word_logp(word, prev or None)
         return lm_alpha * lm.get(word, floor)
 
     # beams: prefix -> (logp ending in blank, logp ending in non-blank)
@@ -118,6 +133,41 @@ def beam_decode(
     return final[:top_k]
 
 
+class NGramLM:
+    """Bigram Katz-backoff LM over char-id-tuple words (the public ARPA
+    backoff formulation used by SRILM/KenLM — the reference wires a
+    KenLM n-gram into decode_beams, BDRC/inference.py:95-106):
+
+        P(w2 | w1) = P_2(w1, w2)            if the bigram is listed,
+                     bo(w1) + P_1(w2)       otherwise (log domain).
+
+    All probabilities natural-log. Tiny and picklable — broadcast to
+    executors exactly like the unigram table."""
+
+    __slots__ = ("uni", "bo", "bi", "floor")
+
+    def __init__(
+        self,
+        unigrams: dict[tuple[int, ...], float],
+        backoffs: dict[tuple[int, ...], float],
+        bigrams: dict[tuple[tuple[int, ...], tuple[int, ...]], float],
+    ):
+        self.uni = unigrams
+        self.bo = backoffs
+        self.bi = bigrams
+        self.floor = (min(unigrams.values()) - 2.0) if unigrams else 0.0
+
+    def word_logp(
+        self, word: tuple[int, ...], prev: tuple[int, ...] | None = None
+    ) -> float:
+        if prev is not None:
+            p = self.bi.get((prev, word))
+            if p is not None:
+                return p
+            return self.bo.get(prev, 0.0) + self.uni.get(word, self.floor)
+        return self.uni.get(word, self.floor)
+
+
 def parse_arpa_unigrams(arpa_text: str) -> dict[str, float]:
     """Extract the \\1-grams: section of an ARPA LM file as
     {token: log10-prob} (C14 — reference: parse_arpa_unigrams,
@@ -152,6 +202,69 @@ def arpa_unigram_lm(arpa_text: str, encode) -> dict[tuple[int, ...], float]:
         tuple(int(i) for i in encode(tok)): lp * math.log(10.0)
         for tok, lp in parse_arpa_unigrams(arpa_text).items()
     }
+
+
+_ARPA_SENTINELS = ("<s>", "</s>", "<unk>")
+
+
+def parse_arpa_ngrams(
+    arpa_text: str,
+) -> tuple[dict[str, tuple[float, float]], dict[tuple[str, str], float]]:
+    """Parse the \\1-grams: and \\2-grams: sections of an ARPA file
+    (public format: SRILM ngram-format(5), also what KenLM reads).
+
+    Returns ``(unigrams, bigrams)`` where unigrams maps token ->
+    (log10-prob, log10-backoff — 0.0 when the file omits it) and
+    bigrams maps (w1, w2) -> log10-prob. Sentinel-only entries are
+    dropped on the unigram side; bigrams keep <s>/<\\s> context rows
+    out too since CTC output never contains them."""
+    unigrams: dict[str, tuple[float, float]] = {}
+    bigrams: dict[tuple[str, str], float] = {}
+    section = 0
+    for line in arpa_text.splitlines():
+        line = line.strip()
+        if line.startswith("\\"):
+            section = {"\\1-grams:": 1, "\\2-grams:": 2}.get(line, -1)
+            continue
+        if not line or line.startswith("#") or section <= 0:
+            continue
+        parts = line.split()
+        try:
+            lp = float(parts[0])
+        except (ValueError, IndexError):
+            continue
+        if section == 1 and len(parts) >= 2:
+            tok = parts[1]
+            if tok in _ARPA_SENTINELS:
+                continue
+            bo = 0.0
+            if len(parts) >= 3:
+                try:
+                    bo = float(parts[2])
+                except ValueError:
+                    bo = 0.0
+            unigrams[tok] = (lp, bo)
+        elif section == 2 and len(parts) >= 3:
+            w1, w2 = parts[1], parts[2]
+            if w1 in _ARPA_SENTINELS or w2 in _ARPA_SENTINELS:
+                continue
+            bigrams[(w1, w2)] = lp
+    return unigrams, bigrams
+
+
+def arpa_bigram_lm(arpa_text: str, encode) -> NGramLM:
+    """ARPA file content -> :class:`NGramLM` for bigram shallow fusion
+    (char-id-tuple words, natural-log probs)."""
+    ln10 = math.log(10.0)
+    unigrams, bigrams = parse_arpa_ngrams(arpa_text)
+
+    def key(tok: str) -> tuple[int, ...]:
+        return tuple(int(i) for i in encode(tok))
+
+    uni = {key(t): lp * ln10 for t, (lp, _) in unigrams.items()}
+    bo = {key(t): b * ln10 for t, (_, b) in unigrams.items() if b != 0.0}
+    bi = {(key(a), key(b_)): lp * ln10 for (a, b_), lp in bigrams.items()}
+    return NGramLM(uni, bo, bi)
 
 
 def build_unigram_lm(word_counts: dict[str, int], encode) -> dict[tuple[int, ...], float]:

@@ -116,16 +116,27 @@ class RecognitionSession:
 
 
 _SESSION_CACHE: dict[str, RecognitionSession] = {}
+# id(blob) -> (blob, digest): the broadcast value is a stable object per
+# worker, so the digest of a multi-MB blob is computed once per process
+# instead of once per Arrow batch; keeping the blob referenced pins the
+# id. Bounded: one entry per distinct broadcast weight object.
+_DIGEST_CACHE: dict[int, tuple[bytes, str]] = {}
 
 
 def get_session(weight_blob: bytes) -> RecognitionSession:
     """Executor-global session keyed by weight CONTENT — constructed once
     per Python worker process and reused across Arrow batches. md5 of
     the blob is an honest content key (Python's bytes hash is per-process
-    salted, so it identifies nothing across processes)."""
+    salted, so it identifies nothing across processes); the digest is
+    memoized per blob object so it is not recomputed per batch."""
     import hashlib
 
-    key = hashlib.md5(weight_blob).hexdigest()
+    cached = _DIGEST_CACHE.get(id(weight_blob))
+    if cached is not None and cached[0] is weight_blob:
+        key = cached[1]
+    else:
+        key = hashlib.md5(weight_blob).hexdigest()
+        _DIGEST_CACHE[id(weight_blob)] = (weight_blob, key)
     sess = _SESSION_CACHE.get(key)
     if sess is None:
         sess = RecognitionSession(weight_blob)

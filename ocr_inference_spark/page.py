@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .glyphs import decode_ids
-from .imgcodec import png_decode
+from .imgcodec import decode_image
 from .kernels.binarize import binarize, to_gray
 from .kernels.components import (
     connected_components,
@@ -61,6 +61,11 @@ class PageResult:
     status: str = "success"
     error: str = ""
     beams: list = field(default_factory=list)  # eval_mode: top-k (text, logp) per line
+    # per-line simplified contour polygons, SAME rectified geometry as
+    # the recognized text (the reference exports contours from the same
+    # inference run — a separate detect_page pass on the un-rectified
+    # ink can disagree in line count/order on skewed pages)
+    contours: list = field(default_factory=list)
     # per-stage wall-clock ms (audit/metrics plane ONLY — never data;
     # cf. AuditLogger stage records, BDRC/audit_logger.py:41-64)
     stage_ms: dict = field(default_factory=dict)
@@ -91,12 +96,13 @@ def detect_page(content: bytes) -> dict:
     Douglas-Peucker-simplified like optimize_countour,
     BDRC/line_detection.py:47-59)."""
     from .kernels.contours import contour_points
+    from .kernels.geometry import component_rotated_bbox
 
     try:
-        gray = to_gray(png_decode(content))
+        gray = to_gray(decode_image(content))
     except Exception as exc:
         return {"status": "decode_failed", "error": str(exc)[:200], "bboxes": [],
-                "contours": [], "width": 0, "height": 0}
+                "contours": [], "rbboxes": [], "width": 0, "height": 0}
     ink = binarize(gray)
     mask, comps = _detect(ink)
     line_comps = _line_comps(comps, ink.shape[1])
@@ -110,6 +116,9 @@ def detect_page(content: bytes) -> dict:
             {"x": c.x, "y": c.y, "w": c.w, "h": c.h} for c in ordered
         ],
         "contours": [contour_points(c) for c in ordered],
+        # rotated boxes (A8: get_union_bbox's RotatedBBox,
+        # reference BDRC/utils.py:1081-1097)
+        "rbboxes": [component_rotated_bbox(c) for c in ordered],
     }
 
 
@@ -118,6 +127,7 @@ def process_page(
     session: RecognitionSession,
     eval_mode: bool = False,
     tps_mode: str = "global",
+    line_sorting: str = "threshold",
 ) -> PageResult:
     """``tps_mode``: 'global' applies the page-level polynomial
     rectification (apply_global_tps analogue, vertical column shift);
@@ -125,7 +135,13 @@ def process_page(
     kernels/tps.py) through the best line's control points, materializing
     the deskew first like the reference's rotate-then-TPS order; 'local'
     skips page rectification and rectifies each extracted line
-    individually (TPSMode.LOCAL, BDRC/data.py:74-78)."""
+    individually (TPSMode.LOCAL, BDRC/data.py:74-78).
+
+    ``line_sorting``: 'threshold' is the reference's
+    sort_lines_by_threshold ordering (fixture equality depends on it);
+    'peaks' orders by projection-profile bands (LineSorting.PEAKS,
+    reference BDRC/data.py:53-64 — enum only there) and additionally
+    splits CC-fused touching lines at profile valleys."""
     from time import perf_counter
 
     stage_ms: dict[str, float] = {}
@@ -139,7 +155,7 @@ def process_page(
 
     stage = "decode"
     try:
-        gray = to_gray(png_decode(content))
+        gray = to_gray(decode_image(content))
     except Exception as exc:  # malformed media payload -> failed row
         _mark("decode")  # partial time of the failing stage -> audit row
         return PageResult(status="failed:decode", error=str(exc)[:200], stage_ms=stage_ms)
@@ -199,8 +215,23 @@ def process_page(
 
         # stage 4: reading order + extraction
         stage = "extract"
-        ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
+        if line_sorting == "peaks":
+            # LineSorting.PEAKS (reference enum BDRC/data.py:53-64, no
+            # reference implementation): projection-profile bands order
+            # the lines and split CC-fused touching lines first
+            from .kernels.projection import peaks_sort_lines, split_merged_components
+            from .kernels.reading_order import merge_row
+
+            # profile over the segmentation MASK (solid per line) — the
+            # raw glyph ink has sparse rows that would fracture bands
+            split = split_merged_components(line_comps, mask)
+            ordered = [merge_row(r) for r in peaks_sort_lines(split, mask) if r]
+        else:
+            ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
         line_imgs = extract_line_images(ink, ordered, local_tps=tps_mode == "local")
+        from .kernels.contours import contour_points
+
+        line_contours = [contour_points(c) for c in ordered]
         _mark("extract")
 
         stage = "recognize"
@@ -229,6 +260,7 @@ def process_page(
             beams=beams_out,
             texts=texts,
             confs=confs,
+            contours=line_contours,
             angle=float(angle),
             dewarp_applied=bool(applied),
             distortion_ratio=float(ratio),

@@ -91,6 +91,9 @@ def _make_ocr_kernel(weight_bc):
                         out["n_lines"].append(res.n_lines)
                         out["status"].append(res.status)
                         out["stage_ms"].append(res.stage_ms)
+                        out["contour"].append(
+                            res.contours[rank] if rank < len(res.contours) else None
+                        )
                 else:
                     # keep one row per failed/empty page for lineage metrics
                     out["doc_id"].append(doc_id)
@@ -104,6 +107,7 @@ def _make_ocr_kernel(weight_bc):
                     out["n_lines"].append(0)
                     out["status"].append(res.status if res.status != "success" else "empty")
                     out["stage_ms"].append(res.stage_ms)
+                    out["contour"].append(None)
             yield pd.DataFrame(out)
 
     return ocr_kernel
@@ -304,11 +308,15 @@ def extract_spans(
 
 
 # full LINE_DETECTION_SCHEMA fidelity (Config.py:90-115): nested contour
-# polygons (Douglas-Peucker simplified) alongside bboxes
+# polygons (Douglas-Peucker simplified) alongside axis-aligned AND
+# rotated (minAreaRect-equivalent) boxes — the reference emits both
+# (get_union_bbox, BDRC/utils.py:1081-1097)
 DETECTION_OUT_SCHEMA = (
     "image_name string, image_width int, image_height int, num_contours int,"
     " contours array<array<struct<x:int, y:int>>>,"
-    " bboxes array<struct<x:int, y:int, w:int, h:int>>, status string"
+    " bboxes array<struct<x:int, y:int, w:int, h:int>>,"
+    " rbboxes array<struct<cx:double, cy:double, w:double, h:double,"
+    " angle:double, points:array<struct<x:int, y:int>>>>, status string"
 )
 
 
@@ -324,7 +332,8 @@ def detect_lines(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {
                 "image_name": [], "image_width": [], "image_height": [],
-                "num_contours": [], "contours": [], "bboxes": [], "status": [],
+                "num_contours": [], "contours": [], "bboxes": [],
+                "rbboxes": [], "status": [],
             }
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 d = detect_page(bytes(content))
@@ -334,6 +343,7 @@ def detect_lines(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
                 rows["num_contours"].append(len(d["bboxes"]))
                 rows["contours"].append(d["contours"])
                 rows["bboxes"].append(d["bboxes"])
+                rows["rbboxes"].append(d["rbboxes"])
                 rows["status"].append(d["status"])
             yield pd.DataFrame(rows)
 

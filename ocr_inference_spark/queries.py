@@ -838,19 +838,63 @@ def q36_embedding_near_dup_lsh(spark, sf_dir):
     )
 
 
+def q40_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-k (the data-adaptive coarse-quantizer scale
+    path alongside q28's LSH): spherical-kmeans cells trained on a
+    deterministic 4k-row sample, corpus rows assigned by one argmax
+    over a literal centroid matrix, queries probe 4 cells, exact
+    re-rank. Approximate by design -> rows-only; recall vs the exact
+    q27 is pinned in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = corpus.where(F.col("vec_id") < 5)
+    # nprobe 10/16: the synthetic embeddings are near-isotropic (no
+    # cluster structure), so IVF must probe most of the sphere for 0.9+
+    # recall; real embedding corpora are clustered and probe far fewer
+    return sim.ivf_topk(
+        corpus, queries_df, "vec_id", "embedding", k=3, n_cells=16, nprobe=10
+    )
+
+
 def q38_layout_regions(spark, sf_dir):
     """LAYOUT-mode region classification (LineMode.LAYOUT / F4/F5):
-    per-class region counts over synthesized pages (rows-only — the
-    classifier is a page kernel)."""
-    from .layout import detect_layout
-    from .synth import synth_corpus
+    per-class region counts over pages rendered from a deterministic
+    md5-derived region spec — the SAME spec is expressible in ANSI SQL,
+    so the oracle counts the expected classes relationally while Spark
+    must actually render, segment, and classify to match."""
+    from .layout import detect_layout, layout_spec, render_layout_pages
 
-    _, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
+    docs = _t(spark, sf_dir, "documents")
+    pages = render_layout_pages(spark, layout_spec(docs, n_docs=48))
     return (
         detect_layout(spark, pages)
         .groupBy("cls")
-        .agg(F.count("*").alias("n_regions"))
+        .agg(F.count("*").cast("long").alias("n_regions"))
     )
+
+
+ORACLE_Q38 = """
+WITH spec AS (
+  SELECT
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_lines,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS caption,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) % 2 = 0 AS noise
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48)
+)
+SELECT cls, n_regions FROM (
+  SELECT 'line' AS cls, CAST(sum(n_lines) AS BIGINT) AS n_regions FROM spec
+  UNION ALL
+  SELECT 'caption', CAST(count(*) AS BIGINT) FROM spec WHERE caption
+  UNION ALL
+  SELECT 'margin', CAST(count(*) AS BIGINT) FROM spec WHERE noise
+  UNION ALL
+  SELECT 'header', CAST(count(*) AS BIGINT) FROM spec WHERE noise
+  UNION ALL
+  SELECT 'pagenr', CAST(count(*) AS BIGINT) FROM spec WHERE noise
+) WHERE n_regions > 0
+"""
 
 
 def q39_training_selection(spark, sf_dir):
@@ -958,6 +1002,7 @@ QUERIES = {
     "q37_dup_clusters": q37_dup_clusters,
     "q38_layout_regions": q38_layout_regions,
     "q39_training_selection": q39_training_selection,
+    "q40_ann_ivf_topk": q40_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -992,6 +1037,7 @@ ORACLES = {
     "q33_encoding_roundtrip": ORACLE_Q33,
     "q35_embedding_near_dup": ORACLE_Q35,
     "q37_dup_clusters": ORACLE_Q37,
+    "q38_layout_regions": ORACLE_Q38,
     "q39_training_selection": ORACLE_Q39,
     # q26/q28/q30/q31/q34: intentionally no oracle (engine-specific
     # hashes / non-SQL-expressible kernels) — rows-only checks.

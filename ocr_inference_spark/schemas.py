@@ -63,6 +63,21 @@ OCR_LINES_SCHEMA = T.StructType(
         # recognize) — audit plane only (BDRC/audit_logger.py:41-64);
         # identical across a page's line rows
         T.StructField("stage_ms", T.MapType(T.StringType(), T.DoubleType()), True),
+        # simplified line polygon in the SAME rectified geometry the
+        # text was recognized in (the reference's PageXML Coords come
+        # from the same inference run, BDRC/exporter.py:162-233)
+        T.StructField(
+            "contour",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("x", T.IntegerType(), True),
+                        T.StructField("y", T.IntegerType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 

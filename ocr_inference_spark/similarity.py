@@ -276,3 +276,155 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path (cf. the
+# published IVF/IVFADC family, Jégou et al. 2011): centroids trained
+# driver-side on a deterministic sample, embedded as a literal matrix;
+# each row is assigned to its nearest cell (one argmax over centroid
+# dots), queries probe their nprobe nearest cells, candidates re-ranked
+# exactly. At 10^12 rows the (cell) equi-join touches only same-cell
+# pairs, like the LSH path but with data-adaptive partitions.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+) -> "np.ndarray":
+    """Spherical k-means on a DETERMINISTIC sample (rows ordered by
+    xxhash64 of the id — stable across runs and cluster sizes), driver
+    side. Returns (n_cells, dim) unit-norm centroids. The sample is a
+    bounded driver pull (default 4096 rows), not a corpus scan."""
+    import numpy as np
+
+    pdf = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")))
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n_cells = min(n_cells, len(X))
+    C = X[:n_cells].copy()  # deterministic init: first hash-ordered rows
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def _centroid_matrix(C) -> "F.Column":
+    """Literal array<array<double>> of centroids via ONE parsed SQL
+    expression (same plan-size rationale as plane_matrix)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in C
+    )
+    return F.expr(f"array({rows})")
+
+
+def _cell_dots(vec, P, n_cells: int):
+    """array<double> of <v, c_j> for every centroid j."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(vec, F.element_at(P, j + 1), lambda x, c: x * c),
+            F.lit(0.0).cast("double"),
+            lambda a, w: a + w,
+        ),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """Approximate top-k via IVF cells: corpus rows live in their
+    nearest-centroid cell; each query probes its ``nprobe`` nearest
+    cells; candidates are exactly re-ranked. Argmax of the centroid
+    dot equals argmax cosine (row norm is constant per row), so no
+    normalization is needed in the expression."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, id_col, vec_col, n_cells)
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+    P = _centroid_matrix(centroids)
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cnorm"),
+            # materialize the dots ONCE per row (HOFs get no common-
+            # subexpression elimination), then derive the argmax cell
+            _cell_dots(F.col(vec_col), P, n_cells).alias("dots"),
+        )
+        .where(F.col("cnorm") > 0)
+        .select(
+            "neighbor_id",
+            "cvec",
+            "cnorm",
+            # 0-based nearest cell: position of the max dot
+            (F.array_position(F.col("dots"), F.array_max(F.col("dots"))) - 1).alias(
+                "cell"
+            ),
+        )
+    )
+    # query side: nprobe nearest cells via sort of (−dot, idx) structs
+    probe = F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(
+                    _cell_dots(F.col(vec_col), P, n_cells),
+                    F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                    lambda d, j: F.struct((-d).alias("negd"), j.alias("idx")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["idx"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+        F.explode(probe).alias("cell"),
+    ).where(F.col("qnorm") > 0)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

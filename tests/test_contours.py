@@ -111,6 +111,14 @@ def test_pagexml_includes_polygon_coords(spark, tmp_path):
                     {"x": 1, "y": 2, "w": 9, "h": 5},
                     {"x": 1, "y": 20, "w": 9, "h": 7},
                 ],
+                [
+                    {"cx": 5.0, "cy": 4.0, "w": 9.0, "h": 5.0, "angle": 0.0,
+                     "points": [{"x": 1, "y": 2}, {"x": 9, "y": 2},
+                                {"x": 9, "y": 6}, {"x": 1, "y": 6}]},
+                    {"cx": 5.0, "cy": 23.0, "w": 9.0, "h": 7.0, "angle": 0.0,
+                     "points": [{"x": 1, "y": 20}, {"x": 9, "y": 20},
+                                {"x": 9, "y": 26}, {"x": 1, "y": 26}]},
+                ],
                 "success",
             )
         ],

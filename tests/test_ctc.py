@@ -118,3 +118,99 @@ def test_parse_arpa_unigrams_and_fusion():
     lm = arpa_unigram_lm(arpa, encode_text)
     key = tuple(int(i) for i in encode_text("the"))
     assert math.isclose(lm[key], -0.5 * math.log(10.0))
+
+
+def test_bigram_fusion_beats_greedy_and_unigram():
+    """I33 fidelity: a word acoustically AND unigram-preferred is
+    overturned only by the bigram context (the reference's KenLM is an
+    n-gram backoff model, BDRC/inference.py:95-106)."""
+    from ocr_inference_spark.kernels.ctc import (
+        NGramLM,
+        beam_decode,
+        build_unigram_lm,
+        greedy_decode,
+    )
+
+    # vocab: 0=blank, 1='a', 2='b', 3='c', 4=' '
+    SP = 4
+    A, B, C = (1,), (2,), (3,)
+    # frames spell "a <?>" where <?> is ambiguous between 'b' and 'c';
+    # acoustics slightly prefer 'b'
+    logits = np.full((4, 5), -10.0)
+    logits[0, 1] = 10.0   # 'a'
+    logits[1, SP] = 10.0  # ' '
+    logits[2, 2] = 1.2    # 'b' (acoustic winner)
+    logits[2, 3] = 1.0    # 'c'
+    logits[3, 0] = 10.0   # blank
+
+    greedy_ids, _ = greedy_decode(logits)
+    assert greedy_ids.tolist() == [1, SP, 2]  # "a b" — wrong
+
+    # unigrams also prefer 'b'
+    uni = build_unigram_lm({"a": 10, "b": 10, "c": 5},
+                           lambda w: [{"a": 1, "b": 2, "c": 3}[w]])
+    with_uni = beam_decode(logits, beam_width=16, top_k=3, lm=uni,
+                           lm_alpha=1.0, space_id=SP)
+    assert with_uni[0][0] == (1, SP, 2)  # still "a b" — wrong
+
+    # bigram context: after "a", "c" is overwhelmingly more likely
+    bi = NGramLM(
+        unigrams={A: math.log(0.4), B: math.log(0.4), C: math.log(0.2)},
+        backoffs={},
+        bigrams={(A, C): math.log(0.95), (A, B): math.log(0.001)},
+    )
+    with_bi = beam_decode(logits, beam_width=16, top_k=3, lm=bi,
+                          lm_alpha=1.0, space_id=SP)
+    assert with_bi[0][0] == (1, SP, 3)  # "a c" — bigram fixes it
+
+
+def test_ngram_lm_backoff_path():
+    from ocr_inference_spark.kernels.ctc import NGramLM
+
+    A, B, C = (1,), (2,), (3,)
+    lm = NGramLM(
+        unigrams={A: -1.0, B: -2.0, C: -3.0},
+        backoffs={A: -0.5},
+        bigrams={(A, B): -0.1},
+    )
+    assert lm.word_logp(B, A) == -0.1          # listed bigram
+    assert lm.word_logp(C, A) == -0.5 + -3.0   # backoff: bo(a) + P1(c)
+    assert lm.word_logp(C, B) == 0.0 + -3.0    # no backoff weight for b
+    assert lm.word_logp(B) == -2.0             # unigram (no context)
+    unseen = (9,)
+    assert lm.word_logp(unseen) == lm.floor
+
+
+def test_parse_arpa_ngrams_and_bigram_fusion():
+    from ocr_inference_spark.glyphs import encode_text
+    from ocr_inference_spark.kernels.ctc import arpa_bigram_lm, parse_arpa_ngrams
+
+    arpa = "\n".join([
+        "\\data\\",
+        "ngram 1=4",
+        "ngram 2=3",
+        "",
+        "\\1-grams:",
+        "-1.0\t<s>\t-0.30103",
+        "-0.5\tthe\t-0.2",
+        "-2.0\tfox",
+        "",
+        "\\2-grams:",
+        "-0.1\tthe fox",
+        "-0.4\t<s> the",
+        "\\end\\",
+    ])
+    uni, bi = parse_arpa_ngrams(arpa)
+    assert uni == {"the": (-0.5, -0.2), "fox": (-2.0, 0.0)}
+    assert bi == {("the", "fox"): -0.1}
+
+    lm = arpa_bigram_lm(arpa, encode_text)
+    the = tuple(int(i) for i in encode_text("the"))
+    fox = tuple(int(i) for i in encode_text("fox"))
+    ln10 = math.log(10.0)
+    assert math.isclose(lm.word_logp(fox, the), -0.1 * ln10)
+    # unseen context word "dog": backoff chain -> bo(dog)=0 + P1(fox)
+    dog = tuple(int(i) for i in encode_text("dog"))
+    assert math.isclose(lm.word_logp(fox, dog), -2.0 * ln10)
+    # seen context, unseen continuation: bo(the) + floor
+    assert math.isclose(lm.word_logp(dog, the), -0.2 * ln10 + lm.floor)

@@ -122,3 +122,41 @@ def test_dup_clusters_connected_components(spark):
     )
     out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_ivf_topk_recall_and_plan(spark):
+    """The IVF ANN path must plan as a hash join on the cell key and
+    recover the exact top-k at sf0.001 with the q40 parameters (16
+    cells, nprobe 10 — the synthetic vectors are near-isotropic, so IVF
+    must probe most cells; clustered real data probes far fewer)."""
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.where(F.col("vec_id") < 5)
+    approx = ivf_topk(corpus, queries, k=3, n_cells=16, nprobe=10)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, queries, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c1 = train_ivf_centroids(corpus, n_cells=8)
+    c2 = train_ivf_centroids(corpus, n_cells=8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

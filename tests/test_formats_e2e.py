@@ -1,0 +1,43 @@
+"""Non-PNG media payloads flow through the full pipeline: a JPEG- or
+TIFF-encoded page must produce the exact same span sequence as its PNG
+original (reference ingests jpg/jpeg/png/tif, reference cli.py:16)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_inference_spark.fixtures import build_corpus, corpus_to_spark
+from ocr_inference_spark.imgcodec import png_decode, tiff_encode
+from ocr_inference_spark.jpegcodec import jpeg_encode
+from ocr_inference_spark.pipeline import extract_spans
+
+
+def _tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def mixed_format_corpus(spark):
+    documents, pages, expected = build_corpus(n_docs=6, seed=11)
+    # round-robin re-encode: PNG originals -> JPEG / TIFF / PNG
+    for i, page in enumerate(pages):
+        img = png_decode(page["content"])
+        if i % 3 == 0:
+            page["content"] = jpeg_encode(img, quality=95)
+        elif i % 3 == 1:
+            page["content"] = tiff_encode(img)
+    formats = {i % 3 for i in range(len(pages))}
+    assert formats == {0, 1, 2}, "fixture must exercise all three formats"
+    docs_df, pages_df = corpus_to_spark(spark, documents, pages)
+    return docs_df, pages_df, expected
+
+
+def test_span_equality_across_formats(spark, mixed_format_corpus):
+    docs_df, pages_df, expected = mixed_format_corpus
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in extract_spans(spark, docs_df, pages_df).collect()
+    }
+    assert len(out) == len(expected)
+    for exp in expected:
+        assert _tuples(out[exp["doc_id"]]) == _tuples(exp["spans"]), exp["doc_id"]

@@ -1,0 +1,170 @@
+"""JPEG/TIFF codecs + format sniffing (reference ingests jpg/jpeg/png/tif
+scans, reference cli.py:16; our engine decodes them inside the Arrow
+batch via imgcodec.decode_image)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_inference_spark.imgcodec import (
+    decode_image,
+    png_encode,
+    sniff_format,
+    tiff_decode,
+    tiff_encode,
+)
+from ocr_inference_spark.jpegcodec import jpeg_decode, jpeg_encode
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _test_image_gray(h=72, w=96, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    img += rng.normal(0, 4, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _test_image_rgb(h=64, w=80, seed=5):
+    g = _test_image_gray(h, w, seed)
+    rgb = np.stack([g, np.roll(g, 7, axis=1), 255 - g], axis=-1)
+    return rgb.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_gray_high_quality():
+    img = _test_image_gray()
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert _psnr(img, out) > 35.0
+
+
+def test_jpeg_roundtrip_rgb():
+    img = _test_image_rgb()
+    out = jpeg_decode(jpeg_encode(img, quality=92))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30.0
+
+
+def test_jpeg_quality_monotonic():
+    img = _test_image_gray()
+    lo = len(jpeg_encode(img, quality=30))
+    hi = len(jpeg_encode(img, quality=95))
+    assert lo < hi
+    # low quality still decodes to roughly the same picture
+    assert _psnr(img, jpeg_decode(jpeg_encode(img, quality=30))) > 22.0
+
+
+def test_jpeg_non_multiple_of_8_dimensions():
+    img = _test_image_gray(h=37, w=53)
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out.shape == (37, 53)
+    assert _psnr(img, out) > 33.0
+
+
+def test_jpeg_flat_image_exact():
+    img = np.full((24, 40), 180, dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=90))
+    assert int(np.abs(out.astype(int) - 180).max()) <= 1
+
+
+def test_jpeg_rejects_progressive_marker():
+    img = _test_image_gray(16, 16)
+    data = bytearray(jpeg_encode(img, quality=90))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(data))
+
+
+def test_jpeg_rejects_garbage():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01\x02garbage")
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_gray_exact():
+    img = _test_image_gray()
+    out = tiff_decode(tiff_encode(img))
+    assert np.array_equal(out, img)
+
+
+def test_tiff_roundtrip_rgb_exact():
+    img = _test_image_rgb()
+    out = tiff_decode(tiff_encode(img))
+    assert np.array_equal(out, img)
+
+
+def test_tiff_big_endian_decode():
+    """Hand-built MM (big-endian) grayscale TIFF decodes correctly."""
+    import struct
+
+    img = _test_image_gray(10, 12)
+    pixels = img.tobytes()
+    ifd_off = 8 + len(pixels)
+    entries = []
+
+    def entry(tag, typ, count, raw4):
+        entries.append(struct.pack(">HHI4s", tag, typ, count, raw4))
+
+    entry(256, 4, 1, struct.pack(">I", 12))
+    entry(257, 4, 1, struct.pack(">I", 10))
+    entry(258, 3, 1, struct.pack(">HH", 8, 0))
+    entry(259, 3, 1, struct.pack(">HH", 1, 0))
+    entry(262, 3, 1, struct.pack(">HH", 1, 0))
+    entry(273, 4, 1, struct.pack(">I", 8))
+    entry(277, 3, 1, struct.pack(">HH", 1, 0))
+    entry(279, 4, 1, struct.pack(">I", len(pixels)))
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + struct.pack(">I", 0)
+    data = b"MM\x00*" + struct.pack(">I", ifd_off) + pixels + ifd
+    assert np.array_equal(tiff_decode(data), img)
+
+
+def test_tiff_rejects_compressed():
+    import struct
+
+    data = bytearray(tiff_encode(_test_image_gray(8, 8)))
+    # flip the compression SHORT (tag 259) to 5 (LZW)
+    ifd_off = struct.unpack("<I", bytes(data[4:8]))[0]
+    n = struct.unpack("<H", bytes(data[ifd_off : ifd_off + 2]))[0]
+    for i in range(n):
+        off = ifd_off + 2 + i * 12
+        tag = struct.unpack("<H", bytes(data[off : off + 2]))[0]
+        if tag == 259:
+            data[off + 8 : off + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        tiff_decode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_and_dispatch_all_formats():
+    img = _test_image_gray()
+    png = png_encode(img)
+    jpg = jpeg_encode(img, quality=95)
+    tif = tiff_encode(img)
+    assert sniff_format(png) == "png"
+    assert sniff_format(jpg) == "jpeg"
+    assert sniff_format(tif) == "tiff"
+    assert sniff_format(b"plainly not an image") == "unknown"
+    assert np.array_equal(decode_image(png), img)
+    assert np.array_equal(decode_image(tif), img)
+    assert _psnr(img, decode_image(jpg)) > 35.0
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"bogus bytes here")

@@ -40,3 +40,46 @@ def test_detect_layout_filter_classes(spark):
     only_lines = detect_layout(spark, pages, filter_classes=["line"]).collect()
     assert len(only_lines) == len(LINES)
     assert all(r["cls"] == "line" for r in only_lines)
+
+
+def test_furniture_geometry_has_classifier_slack():
+    """Drift guard: the synthetic furniture must sit WELL INSIDE the
+    classifier's acceptance regions (>=20% slack on each bound), so a
+    renderer tweak cannot silently flip a class."""
+    import numpy as np
+
+    from ocr_inference_spark import layout as L
+    from ocr_inference_spark.imgcodec import png_decode
+    from ocr_inference_spark.kernels.morphology import V_RADIUS
+    from ocr_inference_spark.kernels.binarize import binarize, to_gray
+    from ocr_inference_spark.layout import classify_regions
+    from ocr_inference_spark.page import _detect
+
+    # realistic page width: short fixture pages leave the pagenr blob at
+    # ~9% of width vs the 10% bound — real scans are wider, so the slack
+    # contract is stated against a full-width page
+    wide_lines = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a second full width text line for realistic page geometry here",
+    ]
+    img = png_encode(render_page(wide_lines, noise=True, caption=True))
+    ink = binarize(to_gray(png_decode(img)))
+    mask, comps = _detect(ink)
+    h_img, w_img = mask.shape
+    by_cls = {}
+    for cls, c in classify_regions(comps, mask.shape, ink.shape[1]):
+        by_cls.setdefault(cls, []).append(c)
+
+    (m,) = by_cls["margin"]
+    assert m.h > 1.2 * L.MARGIN_MIN_H_FRAC * h_img
+    assert m.w < 0.8 * L.MARGIN_MAX_W_FRAC * w_img
+    assert m.x < 0.8 * L.MARGIN_EDGE_FRAC * w_img
+
+    (hd,) = by_cls["header"]
+    assert hd.y < 0.8 * L.HEADER_MAX_Y_FRAC * h_img
+    assert hd.w > 1.2 * L.HEADER_MIN_W_FRAC * w_img
+
+    (p,) = by_cls["pagenr"]
+    assert p.y + p.h > h_img - 0.8 * (1 - L.PAGENR_MIN_Y_FRAC) * h_img
+    assert p.w < 0.8 * L.PAGENR_MAX_W_FRAC * w_img
+    assert (p.h - 2 * V_RADIUS) < 0.8 * L.PAGENR_MAX_H_FRAC_W * w_img
