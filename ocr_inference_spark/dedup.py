@@ -411,3 +411,58 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     return cand.where(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """(id, simhash): md5-derived SimHash — same algorithm as
+    :func:`simhash` but each token hashes to the top 15 hex chars of its
+    md5 (60 bits, fits a signed BIGINT in every engine). Exists so the
+    operator is ORACLE-CHECKABLE: DuckDB reproduces md5/bit arithmetic
+    exactly, xxhash64 it cannot."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("w"),
+    ).where(F.length("w") > 0)
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = words.select("id", h.alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy("id").agg(*bit_cols)
+    key = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        key = term if key is None else key.bitwiseOR(term)
+    return sums.select("id", key.alias("simhash"))
+
+
+def simhash_md5_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 10
+) -> DataFrame:
+    """EXACT all-pairs SimHash near-dups over the md5-derived keys —
+    the oracle-checkable small-n baseline (like q24 for Jaccard). The
+    quadrant-BLOCKED :func:`simhash_pairs` is the scale path; its
+    pigeonhole guarantee (any pair within Hamming<=3 shares a 16-bit
+    quadrant) only covers max_hamming <= 3, so larger radii belong on
+    this exact path or a multi-probe scheme."""
+    sig = simhash_md5(df, id_col, text_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(hamming <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )

@@ -644,10 +644,50 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q26_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — no SQL oracle (xxhash64 band keys are not
-    reproducible in DuckDB); driver records rows-only."""
+    """SimHash near-dup pairs, ORACLE-CHECKABLE (round 3: flipped from
+    rows-only): the 60-bit md5-derived key family — DuckDB reproduces
+    md5 + bit arithmetic exactly, xxhash64 it cannot. Exact all-pairs
+    over an oracle-bounded 120 docs (like q24's Jaccard baseline); the
+    quadrant-blocked xxhash64 simhash_pairs remains the scale path with
+    its pigeonhole guarantee at max_hamming <= 3."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=26)
+    return dd.simhash_md5_pairs_exact(docs, "doc_id", "text", max_hamming=10)
+
+
+def _oracle_q26() -> str:
+    bits = 60
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    key = " | ".join(f"(CASE WHEN b{j} > 0 THEN 1::BIGINT ELSE 0 END << {j})"
+                     for j in range(bits))
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, unnest(string_split(
+    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+  FROM documents WHERE doc_id < 120
+),
+hashed AS (
+  SELECT id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+  FROM words WHERE length(w) > 0
+),
+sums AS (
+  SELECT id,
+    {bit_sums}
+  FROM hashed GROUP BY id
+),
+sig AS (
+  SELECT id, {key} AS simhash FROM sums
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
+
+ORACLE_Q26 = _oracle_q26()
 
 
 # --------------------------------------------------------------- similarity
@@ -1031,6 +1071,7 @@ ORACLES = {
     "q23_exact_dup_keys": ORACLE_Q23,
     "q24_jaccard_pairs": ORACLE_Q24,
     "q25_minhash_lsh_pairs": ORACLE_Q25,
+    "q26_simhash_pairs": ORACLE_Q26,
     "q27_ann_cosine_topk": ORACLE_Q27,
     "q29_tumbling_window": ORACLE_Q29,
     "q32_cer": ORACLE_Q32,
@@ -1039,6 +1080,6 @@ ORACLES = {
     "q37_dup_clusters": ORACLE_Q37,
     "q38_layout_regions": ORACLE_Q38,
     "q39_training_selection": ORACLE_Q39,
-    # q26/q28/q30/q31/q34: intentionally no oracle (engine-specific
+    # q28/q30/q31/q34/q36/q40: intentionally no oracle (engine-specific
     # hashes / non-SQL-expressible kernels) — rows-only checks.
 }
