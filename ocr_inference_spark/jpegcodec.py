@@ -511,13 +511,36 @@ def _pad8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (H,W) grayscale or (H,W,3) RGB uint8 as baseline JFIF."""
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    if (ph, pw) == (h, w):
+        return plane
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H,W) grayscale or (H,W,3) RGB uint8 as baseline JFIF.
+
+    ``subsampling``: '444' (one block of each component per MCU) or
+    '420' (16x16 MCU: 4 Y blocks + 2x2-averaged Cb, Cr — the common
+    camera/scanner layout). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker every that many MCUs (predictors reset,
+    bitstream byte-aligned) — the error-resilience feature real scan
+    archives carry."""
     if img.dtype != np.uint8:
         raise ValueError(f"jpeg_encode expects uint8, got {img.dtype}")
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError(f"unsupported shape {img.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = (not gray) and subsampling == "420"
     h, w = img.shape[:2]
     qy = _quality_scale(Q_LUMA, quality)
     qc = _quality_scale(Q_CHROMA, quality)
@@ -532,8 +555,9 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc.tolist())
     # SOF0
     ncomp = 1 if gray else 3
+    y_sampling = 0x22 if sub420 else 0x11
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    sof += bytes([1, 0x11, 0])
+    sof += bytes([1, y_sampling, 0])
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
@@ -551,6 +575,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     ):
         payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp, 1, 0x00])
     if not gray:
@@ -561,11 +587,13 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
     dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     writer = _BitWriter()
+
+    # component planes + per-MCU block layout
     if gray:
-        zz = _quantized_zigzag(_pad8(img.astype(np.float64)), qy)
-        pred = 0
-        for blk in zz:
-            pred = _write_block(blk, writer, dc_y, ac_y, pred)
+        yp = _pad8(img.astype(np.float64))
+        comps = [(_quantized_zigzag(yp, qy), yp.shape[1] // 8, 1, 1, dc_y, ac_y)]
+        mcus_x = yp.shape[1] // 8
+        mcus_y = yp.shape[0] // 8
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -574,18 +602,43 @@ def jpeg_encode(img: np.ndarray, quality: int = 90) -> bytes:
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
         ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-        # 4:4:4 interleaved: each MCU = one block of Y, Cb, Cr in turn
-        zz_planes = [
-            _quantized_zigzag(_pad8(p), q)
-            for p, q in ((y, qy), (cb, qc), (cr, qc))
-        ]
-        preds = [0, 0, 0]
-        tables = [(dc_y, ac_y), (dc_c, ac_c), (dc_c, ac_c)]
-        for i in range(zz_planes[0].shape[0]):
-            for ci in range(3):
-                preds[ci] = _write_block(
-                    zz_planes[ci][i], writer, tables[ci][0], tables[ci][1], preds[ci]
-                )
+        if sub420:
+            yp = _pad_to(y, 16)
+            ph, pw = yp.shape
+            # chroma: pad to the same 16-multiple extent, then 2x2 mean
+            # (half-res planes land exactly on 8x8 block boundaries)
+            cbp = _pad_to(cb, 16).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            crp = _pad_to(cr, 16).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            mcus_x, mcus_y = pw // 16, ph // 16
+            comps = [
+                (_quantized_zigzag(yp, qy), pw // 8, 2, 2, dc_y, ac_y),
+                (_quantized_zigzag(cbp, qc), pw // 16, 1, 1, dc_c, ac_c),
+                (_quantized_zigzag(crp, qc), pw // 16, 1, 1, dc_c, ac_c),
+            ]
+        else:
+            yp, cbp, crp = (_pad8(p) for p in (y, cb, cr))
+            mcus_x = yp.shape[1] // 8
+            mcus_y = yp.shape[0] // 8
+            comps = [
+                (_quantized_zigzag(yp, qy), mcus_x, 1, 1, dc_y, ac_y),
+                (_quantized_zigzag(cbp, qc), mcus_x, 1, 1, dc_c, ac_c),
+                (_quantized_zigzag(crp, qc), mcus_x, 1, 1, dc_c, ac_c),
+            ]
+
+    preds = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()  # byte-align before the marker
+            writer.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (zz, bw, ch, cv, dc_t, ac_t) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    idx = (my * cv + by) * bw + (mx * ch + bx)
+                    preds[ci] = _write_block(zz[idx], writer, dc_t, ac_t, preds[ci])
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI

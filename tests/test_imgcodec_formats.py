@@ -168,3 +168,37 @@ def test_sniff_and_dispatch_all_formats():
     assert _psnr(img, decode_image(jpg)) > 35.0
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"bogus bytes here")
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 chroma subsampling (the common scanner layout) decodes
+    through the upsampling path; luma detail survives."""
+    img = _test_image_rgb(h=50, w=66)  # non-multiple-of-16 on purpose
+    data = jpeg_encode(img, quality=92, subsampling="420")
+    out = jpeg_decode(data)
+    assert out.shape == img.shape
+    # luma must round-trip well even though chroma is quarter-res
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert _psnr(luma(img), luma(out)) > 28.0
+    # 4:2:0 carries fewer coefficients than 4:4:4
+    assert len(data) < len(jpeg_encode(img, quality=92, subsampling="444"))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: predictors reset and the bitstream re-aligns at
+    every restart interval; decode equals the no-restart decode."""
+    img = _test_image_gray(h=48, w=80)
+    plain = jpeg_decode(jpeg_encode(img, quality=95))
+    with_rst = jpeg_encode(img, quality=95, restart_interval=3)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    out = jpeg_decode(with_rst)
+    assert np.array_equal(out, plain)
+
+
+def test_jpeg_420_gray_is_identity_option():
+    """subsampling flag is a no-op for grayscale input."""
+    img = _test_image_gray(24, 24)
+    assert jpeg_encode(img, quality=90, subsampling="420") == jpeg_encode(
+        img, quality=90, subsampling="444"
+    )
