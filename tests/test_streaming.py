@@ -74,3 +74,80 @@ def test_streaming_extraction_foreachbatch(spark, tmp_path):
         for e in expected
     }
     assert got == want
+
+
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates that arrive in LATER
+    micro-batches are suppressed by state (maxFilesPerTrigger=1 forces
+    one batch per file)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha  beta GAMMA")],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "alpha beta gamma"), (5, "zeta eta"), (6, "delta epsilon")],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream, "doc_id", "text")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["dup_key"]: r["id"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # 3 distinct normalized texts total; within each key the smallest id
+    # of the FIRST batch it appeared in wins; later-batch dups suppressed
+    assert len(rows) == 3
+    ids = sorted(rows.values())
+    assert 4 not in ids and 6 not in ids  # later-batch duplicates dropped
+    assert 5 in ids                        # new key in batch 2 kept
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    from ocr_inference_spark.streaming import streaming_quality_gate
+
+    src = str(tmp_path / "docs_q")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = streaming_quality_gate(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quality_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM quality_out").collect()[0]["n"]
+    # must equal the batch result of the same predicates
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.text import analysis as tx
+
+    want = (
+        docs.withColumn("quality", F.round(tx.quality_score(F.col("text")), 6))
+        .withColumn("lang", tx.lang_id(F.col("text")))
+        .where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+        .count()
+    )
+    assert got == want and got > 0
