@@ -53,16 +53,49 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     )
 
 
+def drop_hot_shingles(
+    sh: DataFrame, n_docs: int, max_doc_freq_frac: float
+) -> DataFrame:
+    """Stop-shingle skew guard: drop shingles present in more than
+    ``max_doc_freq_frac`` of documents. A shingle shared by d docs
+    contributes d² rows to the self-join — one ubiquitous shingle
+    ('the s', ' and ') turns the shuffle into a single hot key at
+    corpus scale, while contributing ~zero discrimination. The hot set
+    is tiny (it is bounded by 1/max_frac distinct shingles per doc on
+    average), so it broadcasts and the guard is a map-side anti-join —
+    no extra shuffle. Standard practice in web-dedup pipelines (cf. the
+    published shingling literature: common-shingle removal)."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = freq.where(F.col("df") > max_doc_freq_frac * n_docs).select("shingle")
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq_frac: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b, jaccard) with shingle-Jaccard >= threshold.
 
     Exact: |A∩B| via self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
     The join shuffles on shingle — fine until a shingle becomes a hot
     key; the MinHash path below is the 100-TB-scale variant.
-    """
-    sh = char_shingles(df, id_col, text_col, k).cache()
+
+    ``max_doc_freq_frac`` (opt-in) enables the stop-shingle skew guard:
+    shingles in more than that fraction of ``n_docs`` documents are
+    dropped BEFORE the self-join (Jaccard is then computed over the
+    informative shingle set — the standard approximation; default off
+    keeps the exact oracle semantics)."""
+    sh = char_shingles(df, id_col, text_col, k)
+    if max_doc_freq_frac is not None:
+        if n_docs is None:
+            raise ValueError("n_docs required with max_doc_freq_frac")
+        sh = drop_hot_shingles(sh, n_docs, max_doc_freq_frac)
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

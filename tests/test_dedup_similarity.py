@@ -160,3 +160,37 @@ def test_ivf_centroids_deterministic(spark):
     c2 = train_ivf_centroids(corpus, n_cells=8)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_hot_shingle_guard(spark):
+    """Stop-shingle skew guard: a shingle shared by every document is
+    dropped before the self-join; true near-dup pairs survive on their
+    informative shingles."""
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.dedup import char_shingles, drop_hot_shingles, jaccard_pairs
+
+    rows = [
+        (1, "zebra quagga okapi COMMONCHUNK"),
+        (2, "zebra quagga okapi COMMONCHUNK"),   # near-dup of 1
+        (3, "entirely different words COMMONCHUNK"),
+        (4, "unrelated content again COMMONCHUNK"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = char_shingles(df, "doc_id", "text", k=5)
+    kept = drop_hot_shingles(sh, n_docs=4, max_doc_freq_frac=0.9)
+    # the COMMONCHUNK shingles (in all 4 docs) are gone
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .where(F.col("df") > 3.6).count()
+    )
+    assert hot > 0
+    assert kept.groupBy("shingle").agg(F.count("*").alias("df")).agg(
+        F.max("df")
+    ).collect()[0][0] <= 3
+
+    pairs = jaccard_pairs(
+        df, "doc_id", "text", k=5, threshold=0.8,
+        max_doc_freq_frac=0.9, n_docs=4,
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
