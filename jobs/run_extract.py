@@ -38,10 +38,24 @@ def main() -> None:
         " partitioned by media_ref (pipeline.recognize_pages docstring)",
     )
     ap.add_argument("--master", default=None)
+    # reference-CLI parity knobs (reference cli.py:20-38)
+    ap.add_argument("--encoding", choices=["unicode", "wylie"], default="unicode",
+                    help="output text encoding (reference --encoding)")
+    ap.add_argument("--k-factor", type=float, default=1.2,
+                    help="line-crop vertical slack multiplier (reference --k-factor)")
+    ap.add_argument("--tps-mode", choices=["global", "global2d", "local"],
+                    default="global", help="dewarp mode (reference TPSMode)")
+    ap.add_argument("--line-sorting", choices=["threshold", "peaks"],
+                    default="threshold", help="reading-order mode (LineSorting)")
+    ap.add_argument("--no-dewarp", action="store_true",
+                    help="disable the TPS/dewarp stage (reference runs it only with --dewarp)")
+    ap.add_argument("--no-merge-lines", action="store_true",
+                    help="keep same-row chunks as separate lines (reference --merge-lines inverse)")
     args = ap.parse_args()
 
     from ocr_inference_spark.checkpoint import run_resumable
     from ocr_inference_spark.io import read_table
+    from ocr_inference_spark.page import PipelineOptions
     from ocr_inference_spark.session import get_spark
 
     spark = get_spark(app_name=f"ocr_extract_{args.job_id}", master=args.master)
@@ -56,6 +70,14 @@ def main() -> None:
         job_id=args.job_id,
         n_buckets=args.buckets,
         strategy=args.strategy,
+        options=PipelineOptions(
+            k_factor=args.k_factor,
+            tps_mode=args.tps_mode,
+            line_sorting=args.line_sorting,
+            dewarp=not args.no_dewarp,
+            merge_lines=not args.no_merge_lines,
+        ),
+        encoding=args.encoding,
     )
     spark.stop()
 

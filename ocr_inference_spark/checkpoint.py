@@ -92,8 +92,16 @@ def run_resumable(
     job_id: str,
     n_buckets: int = 32,
     strategy: str = "shuffle",
+    options=None,
+    encoding: str = "unicode",
 ) -> None:
     """Process only unfinished buckets; append metrics; idempotent output.
+
+    ``options``: page.PipelineOptions threaded into the OCR kernel.
+    ``encoding``: 'unicode' (as recognized) or 'wylie' — the reference's
+    --encoding switch (cli.py:25); 'wylie' transliterates every output
+    TEXT span relationally (text/encodings.to_translit), media spans
+    untouched.
 
     Work, metrics and the output sink all share ONE bucketing —
     ``pmod(xxhash64(doc_id), n_buckets)`` — so every output partition a
@@ -112,10 +120,29 @@ def run_resumable(
     # prune finished work before any page bytes are read (broadcast anti-join)
     todo_docs = docs_b.join(F.broadcast(done), "bucket", "left_anti")
 
-    ocr = recognize_pages(spark, todo_docs.drop("bucket"), pages_df, strategy=strategy)
+    ocr = recognize_pages(
+        spark, todo_docs.drop("bucket"), pages_df, strategy=strategy, options=options
+    )
     ocr.cache()
 
     out = reassemble_spans(todo_docs.drop("bucket"), ocr)
+    if encoding == "wylie":
+        from .text.encodings import to_translit
+
+        out = out.withColumn(
+            "spans",
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(s["kind"] == "text", to_translit(s["text"]))
+                    .otherwise(s["text"])
+                    .alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        )
     out_bucketed = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
     out_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 

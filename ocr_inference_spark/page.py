@@ -48,6 +48,30 @@ from .kernels.reading_order import sort_lines_by_threshold
 from .model import RecognitionSession
 
 
+@dataclass(frozen=True)
+class PipelineOptions:
+    """Reference-CLI-parity knobs (reference cli.py:20-38): the options
+    a user of the reference tunes per run, threaded through the Spark
+    kernel as one picklable value. Defaults reproduce the fixture-pinned
+    behavior exactly.
+
+    - ``k_factor``: vertical slack multiplier around each line crop
+      (reference --k-factor / extract_line's dilation factor).
+    - ``tps_mode``: 'global' | 'global2d' | 'local' (reference --dewarp
+      + TPSMode, BDRC/data.py:74-78).
+    - ``line_sorting``: 'threshold' | 'peaks' (LineSorting enum).
+    - ``dewarp``: False disables the TPS/dewarp stage entirely
+      (reference runs dewarping only when --dewarp is passed).
+    - ``merge_lines``: group same-row chunks into one line (reference
+      --merge-lines / group_line_chunks)."""
+
+    k_factor: float = 1.2  # linecrop.DEFAULT_K_FACTOR
+    tps_mode: str = "global"
+    line_sorting: str = "threshold"
+    dewarp: bool = True
+    merge_lines: bool = True
+
+
 @dataclass
 class PageResult:
     """Per-page output (cf. OCResult, BDRC/data.py:228-236)."""
@@ -128,6 +152,7 @@ def process_page(
     eval_mode: bool = False,
     tps_mode: str = "global",
     line_sorting: str = "threshold",
+    options: PipelineOptions | None = None,
 ) -> PageResult:
     """``tps_mode``: 'global' applies the page-level polynomial
     rectification (apply_global_tps analogue, vertical column shift);
@@ -141,8 +166,16 @@ def process_page(
     sort_lines_by_threshold ordering (fixture equality depends on it);
     'peaks' orders by projection-profile bands (LineSorting.PEAKS,
     reference BDRC/data.py:53-64 — enum only there) and additionally
-    splits CC-fused touching lines at profile valleys."""
+    splits CC-fused touching lines at profile valleys.
+
+    ``options`` (a :class:`PipelineOptions`) overrides the individual
+    kwargs and adds k_factor / dewarp / merge_lines."""
     from time import perf_counter
+
+    if options is None:
+        options = PipelineOptions(tps_mode=tps_mode, line_sorting=line_sorting)
+    tps_mode = options.tps_mode
+    line_sorting = options.line_sorting
 
     stage_ms: dict[str, float] = {}
     t0 = perf_counter()
@@ -182,9 +215,11 @@ def process_page(
         stage = "dewarp"
         line_comps = _line_comps(comps, width)
         ratio, _dys = distortion_ratio(line_comps, base)
-        applied = ratio > TPS_THRESHOLD and bool(line_comps) and tps_mode in (
-            "global",
-            "global2d",
+        applied = (
+            options.dewarp
+            and ratio > TPS_THRESHOLD
+            and bool(line_comps)
+            and tps_mode in ("global", "global2d")
         )
         if tps_mode == "global2d":
             # reference order (BDRC/inference.py:535-589): materialize the
@@ -225,10 +260,18 @@ def process_page(
             # profile over the segmentation MASK (solid per line) — the
             # raw glyph ink has sparse rows that would fracture bands
             split = split_merged_components(line_comps, mask)
-            ordered = [merge_row(r) for r in peaks_sort_lines(split, mask) if r]
+            rows = peaks_sort_lines(split, mask)
+            if options.merge_lines:
+                ordered = [merge_row(r) for r in rows if r]
+            else:
+                ordered = [c for r in rows for c in r]
         else:
-            ordered, _thr = sort_lines_by_threshold(line_comps, mask.shape)
-        line_imgs = extract_line_images(ink, ordered, local_tps=tps_mode == "local")
+            ordered, _thr = sort_lines_by_threshold(
+                line_comps, mask.shape, group_lines=options.merge_lines
+            )
+        line_imgs = extract_line_images(
+            ink, ordered, local_tps=tps_mode == "local", k_factor=options.k_factor
+        )
         from .kernels.contours import contour_points
 
         line_contours = [contour_points(c) for c in ordered]

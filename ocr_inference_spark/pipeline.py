@@ -67,8 +67,9 @@ def media_spans(docs_df: DataFrame) -> DataFrame:
     )
 
 
-def _make_ocr_kernel(weight_bc):
-    """Build the mapInPandas kernel closing over broadcast weights."""
+def _make_ocr_kernel(weight_bc, options=None):
+    """Build the mapInPandas kernel closing over broadcast weights and
+    the (picklable) per-run PipelineOptions."""
 
     def ocr_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         session = get_session(weight_bc.value)  # executor-global, warm
@@ -77,7 +78,7 @@ def _make_ocr_kernel(weight_bc):
             for doc_id, media_offset, media_ref, content in zip(
                 pdf["doc_id"], pdf["media_offset"], pdf["media_ref"], pdf["content"]
             ):
-                res = process_page(bytes(content), session)
+                res = process_page(bytes(content), session, options=options)
                 if res.status == "success" and res.texts:
                     for rank, (text, conf) in enumerate(zip(res.texts, res.confs)):
                         out["doc_id"].append(doc_id)
@@ -120,8 +121,11 @@ def recognize_pages(
     n_partitions: int | None = None,
     repartition: bool = True,
     strategy: str = "shuffle",
+    options=None,
 ) -> DataFrame:
     """Media spans -> per-line OCR rows (OCR_LINES_SCHEMA).
+    ``options``: a page.PipelineOptions (k-factor, tps/dewarp mode,
+    line sorting, merge-lines) applied inside the kernel.
 
     ``strategy`` picks how page bytes meet their media spans — the
     decision that dominates this job's shuffle bytes, because a page row
@@ -151,7 +155,9 @@ def recognize_pages(
         joined = pages_df.select("media_ref", "content").join(
             F.broadcast(media), "media_ref"
         )
-        return joined.mapInPandas(_make_ocr_kernel(weight_bc), schema=OCR_LINES_SCHEMA)
+        return joined.mapInPandas(
+            _make_ocr_kernel(weight_bc, options), schema=OCR_LINES_SCHEMA
+        )
     joined = media.join(pages_df.select("media_ref", "content"), "media_ref")
     if repartition:
         if n_partitions is None:
@@ -159,7 +165,9 @@ def recognize_pages(
             # redetects) balances out without a long straggler tail
             n_partitions = spark.sparkContext.defaultParallelism * 4
         joined = joined.repartition(n_partitions, "media_ref")
-    return joined.mapInPandas(_make_ocr_kernel(weight_bc), schema=OCR_LINES_SCHEMA)
+    return joined.mapInPandas(
+        _make_ocr_kernel(weight_bc, options), schema=OCR_LINES_SCHEMA
+    )
 
 
 # reference OCR-lines schema (save_ocr_lines_parquet, BDRC/utils.py:1273-1285);
@@ -296,9 +304,12 @@ def extract_spans(
     pages_df: DataFrame,
     n_partitions: int | None = None,
     strategy: str = "shuffle",
+    options=None,
 ) -> DataFrame:
     """End-to-end: documents + pages -> output documents (same schema)."""
-    ocr = recognize_pages(spark, docs_df, pages_df, n_partitions, strategy=strategy)
+    ocr = recognize_pages(
+        spark, docs_df, pages_df, n_partitions, strategy=strategy, options=options
+    )
     out = reassemble_spans(docs_df, ocr)
     # pin the declared output schema
     assert [f.name for f in out.schema.fields] == [

@@ -111,8 +111,15 @@ def synth_corpus(
         F.col("p"),
         F.lit(lines_per_page).alias("n_lines"),
     )
-    pages_full = media.select("media_ref", "text", "n_lines").mapInPandas(
-        _render_kernel, schema=PAGES_GEN_SCHEMA
+    # the documents scan is a handful of small files -> without an
+    # explicit exchange the render kernel would run in ONE task no
+    # matter how many pages it synthesizes; page rendering is
+    # embarrassingly parallel, so spread it across the cluster first
+    render_parts = spark.sparkContext.defaultParallelism * 2
+    pages_full = (
+        media.select("media_ref", "text", "n_lines")
+        .repartition(render_parts, "media_ref")
+        .mapInPandas(_render_kernel, schema=PAGES_GEN_SCHEMA)
     )
     pages_df = pages_full.select("media_ref", "content", "width", "height")
 
