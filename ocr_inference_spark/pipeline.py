@@ -185,6 +185,7 @@ def recognize_pages_eval(
     docs_df: DataFrame,
     pages_df: DataFrame,
     n_partitions: int | None = None,
+    options=None,
 ) -> DataFrame:
     """Eval-mode recognition: beam decode with top-k, emitting the
     reference's OCR-lines row shape (guid/text/encoding/ctc_conf/
@@ -211,7 +212,9 @@ def recognize_pages_eval(
             for doc_id, media_ref, content in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["content"]
             ):
-                res = process_page(bytes(content), session, eval_mode=True)
+                res = process_page(
+                    bytes(content), session, eval_mode=True, options=options
+                )
                 if res.status != "success":
                     continue
                 for rank, (text, conf, beams) in enumerate(
