@@ -202,3 +202,44 @@ def test_jpeg_420_gray_is_identity_option():
     assert jpeg_encode(img, quality=90, subsampling="420") == jpeg_encode(
         img, quality=90, subsampling="444"
     )
+
+
+@pytest.mark.parametrize("cut", [0.1, 0.3, 0.6, 0.9])
+def test_jpeg_truncated_stream_terminates(cut):
+    """Truncated scans must TERMINATE: header-truncation raises (the
+    page kernel maps it to failed:decode); entropy-truncation zero-pads
+    past the end per the spec's bit-reader behavior and yields a
+    partial image of the declared shape (libjpeg's lenient contract).
+    Either way — never a loop or hang."""
+    img = _test_image_gray(40, 56)
+    data = jpeg_encode(img, quality=90)
+    truncated = data[: int(len(data) * cut)]
+    try:
+        out = jpeg_decode(truncated)
+        assert out.shape == img.shape and out.dtype == np.uint8
+    except Exception:
+        pass
+
+
+def test_tiff_truncated_stream_raises():
+    img = _test_image_gray(16, 16)
+    data = tiff_encode(img)
+    with pytest.raises(Exception):
+        tiff_decode(data[:40])
+
+
+def test_decode_image_bitflip_garbage_terminates():
+    """Random bit flips inside a valid JPEG either decode (Huffman
+    resync luck) or raise — both acceptable; the requirement is
+    termination with no hang."""
+    rng = np.random.default_rng(11)
+    img = _test_image_gray(32, 48)
+    data = bytearray(jpeg_encode(img, quality=85))
+    for _ in range(20):
+        i = int(rng.integers(2, len(data)))
+        data[i] ^= 1 << int(rng.integers(0, 8))
+    try:
+        out = jpeg_decode(bytes(data))
+        assert out.dtype == np.uint8
+    except Exception:
+        pass  # raising is fine; hanging is not (pytest timeout guards)
