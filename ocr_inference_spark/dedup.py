@@ -70,13 +70,21 @@ def drop_hot_shingles(
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+# Above this corpus size the stop-shingle guard engages automatically
+# in jaccard_pairs (when the caller supplies n_docs): at >=100k docs a
+# single ubiquitous shingle contributes >=10^10 self-join rows, so the
+# d^2 hot-key failure mode is no longer a tail risk but a certainty.
+AUTO_GUARD_MIN_DOCS = 100_000
+AUTO_GUARD_MAX_DOC_FREQ_FRAC = 0.1
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 5,
     threshold: float = 0.8,
-    max_doc_freq_frac: float | None = None,
+    max_doc_freq_frac: float | str | None = "auto",
     n_docs: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b, jaccard) with shingle-Jaccard >= threshold.
@@ -85,13 +93,21 @@ def jaccard_pairs(
     The join shuffles on shingle — fine until a shingle becomes a hot
     key; the MinHash path below is the 100-TB-scale variant.
 
-    ``max_doc_freq_frac`` (opt-in) enables the stop-shingle skew guard:
-    shingles in more than that fraction of ``n_docs`` documents are
-    dropped BEFORE the self-join (Jaccard is then computed over the
-    informative shingle set — the standard approximation; default off
-    keeps the exact oracle semantics)."""
+    ``max_doc_freq_frac`` enables the stop-shingle skew guard: shingles
+    in more than that fraction of ``n_docs`` documents are dropped
+    BEFORE the self-join (Jaccard is then computed over the informative
+    shingle set — the standard approximation). The default ``"auto"``
+    engages the guard at ``AUTO_GUARD_MAX_DOC_FREQ_FRAC`` once the
+    caller-supplied ``n_docs`` reaches ``AUTO_GUARD_MIN_DOCS`` (footer/
+    catalog row counts make n_docs free at scale), and stays exact below
+    it — so small-corpus oracle semantics are unchanged while the d²
+    hot-key protection is on by default where it matters. Pass ``None``
+    to force the exact semantics at any size."""
     sh = char_shingles(df, id_col, text_col, k)
-    if max_doc_freq_frac is not None:
+    if max_doc_freq_frac == "auto":
+        if n_docs is not None and n_docs >= AUTO_GUARD_MIN_DOCS:
+            sh = drop_hot_shingles(sh, n_docs, AUTO_GUARD_MAX_DOC_FREQ_FRAC)
+    elif max_doc_freq_frac is not None:
         if n_docs is None:
             raise ValueError("n_docs required with max_doc_freq_frac")
         sh = drop_hot_shingles(sh, n_docs, max_doc_freq_frac)
@@ -296,7 +312,28 @@ def embedding_near_dup(
     return scored.where(F.col("cosine") >= threshold)
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Cut lineage per CC round. ``mode``:
+
+    - ``"local"`` (default): ``localCheckpoint(eager=True)`` — blocks
+      live in executor-local storage. Fast, but on executor loss the
+      blocks are gone and the job fails; fine for interactive/bench use.
+    - ``"reliable"``: ``checkpoint(eager=True)`` — blocks go to the
+      configured ``sparkContext.setCheckpointDir`` (HDFS/S3 at cluster
+      scale), surviving executor loss. The production setting for a
+      10^12-doc run where a multi-round CC job must not restart from
+      zero because one executor died mid-loop.
+    """
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    raise ValueError(f"unknown checkpoint mode {mode!r} (use 'local' or 'reliable')")
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iters: int = 50, checkpoint_mode: str = "local"
+) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster_id)
     where cluster_id = min id reachable through the pair graph — the
     canonicalization step of a dedup pipeline (keep one doc per
@@ -314,20 +351,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     broadcast-or-hash equi-join + one aggregate — no driver-side loops
     over data, only over rounds.
 
-    The symmetrized edge list is eagerly localCheckpoint'ed ONCE before
-    the loop: without it every round would re-execute the full upstream
+    The symmetrized edge list is eagerly checkpointed ONCE before the
+    loop: without it every round would re-execute the full upstream
     pair pipeline (e.g. the exact-Jaccard shingle self-join — the
-    100-TB analogue of re-reading the corpus per iteration).
+    100-TB analogue of re-reading the corpus per iteration). See
+    :func:`_materialize` for the ``checkpoint_mode`` fault-tolerance
+    trade-off ("local" fast path vs "reliable" for production runs).
 
     Input: (id_a, id_b) pairs (any extra columns ignored).
     """
-    edges = (
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=True)  # materialize: rounds join a fixed edge list
+        .distinct(),
+        checkpoint_mode,  # materialize: rounds join a fixed edge list
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -352,7 +391,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                 ).alias("cluster_id"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        updated = _materialize(updated, checkpoint_mode)  # cut the lineage per round
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")

@@ -118,9 +118,13 @@ class RecognitionSession:
 _SESSION_CACHE: dict[str, RecognitionSession] = {}
 # id(blob) -> (blob, digest): the broadcast value is a stable object per
 # worker, so the digest of a multi-MB blob is computed once per process
-# instead of once per Arrow batch; keeping the blob referenced pins the
-# id. Bounded: one entry per distinct broadcast weight object.
+# instead of once per Arrow batch. Capped to the 2 most recent blobs —
+# a long-lived executor that sees a fresh broadcast per job must not
+# pin every multi-MB weight blob it ever decoded (id() keys are only
+# meaningful while the blob object is alive, so entries for dead blobs
+# are unreachable garbage anyway).
 _DIGEST_CACHE: dict[int, tuple[bytes, str]] = {}
+_DIGEST_CACHE_MAX = 2
 
 
 def get_session(weight_blob: bytes) -> RecognitionSession:
@@ -136,6 +140,8 @@ def get_session(weight_blob: bytes) -> RecognitionSession:
         key = cached[1]
     else:
         key = hashlib.md5(weight_blob).hexdigest()
+        while len(_DIGEST_CACHE) >= _DIGEST_CACHE_MAX:
+            _DIGEST_CACHE.pop(next(iter(_DIGEST_CACHE)))
         _DIGEST_CACHE[id(weight_blob)] = (weight_blob, key)
     sess = _SESSION_CACHE.get(key)
     if sess is None:

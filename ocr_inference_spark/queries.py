@@ -892,9 +892,12 @@ def q40_ann_ivf_topk(spark, sf_dir):
     queries_df = corpus.where(F.col("vec_id") < 5)
     # nprobe 10/16: the synthetic embeddings are near-isotropic (no
     # cluster structure), so IVF must probe most of the sphere for 0.9+
-    # recall; real embedding corpora are clustered and probe far fewer
+    # recall; real embedding corpora are clustered and probe far fewer.
+    # n_rows from parquet footers lets centroid training filter its
+    # sample scan instead of TakeOrdered-ing the whole corpus.
     return sim.ivf_topk(
-        corpus, queries_df, "vec_id", "embedding", k=3, n_cells=16, nprobe=10
+        corpus, queries_df, "vec_id", "embedding", k=3, n_cells=16, nprobe=10,
+        n_rows=_parquet_row_count(sf_dir, "embeddings"),
     )
 
 

@@ -296,19 +296,39 @@ def train_ivf_centroids(
     n_cells: int = 16,
     sample: int = 4096,
     iters: int = 10,
+    n_rows: int | None = None,
 ) -> "np.ndarray":
-    """Spherical k-means on a DETERMINISTIC sample (rows ordered by
-    xxhash64 of the id — stable across runs and cluster sizes), driver
-    side. Returns (n_cells, dim) unit-norm centroids. The sample is a
-    bounded driver pull (default 4096 rows), not a corpus scan."""
+    """Spherical k-means on a DETERMINISTIC sample (the ``sample`` rows
+    with the smallest xxhash64 of the id — stable across runs and
+    cluster sizes), driver side. Returns (n_cells, dim) unit-norm
+    centroids. The sample is a bounded driver pull (default 4096 rows).
+
+    When ``n_rows`` is known (e.g. from parquet footer metadata — see
+    queries._parquet_row_count), a hash-VALUE threshold predicate is
+    applied before the TakeOrdered: xxhash64 is uniform over int64, so
+    keeping only rows with hash below ``min + 4*sample/n_rows * range``
+    passes ~4x the needed rows and provably contains the global
+    ``sample`` smallest with overwhelming probability — the sort input
+    shrinks from the corpus to ~4*sample rows while the selected set
+    (and therefore the centroids) stays bit-identical. A count guard
+    falls back to the unfiltered path in the astronomically unlikely
+    shortfall case, preserving exactness unconditionally."""
     import numpy as np
 
-    pdf = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id").cast("string")))
-        .limit(sample)
-        .toPandas()
+    hashed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(id_col).cast("string")).alias("h"),
     )
+    pdf = None
+    if n_rows is not None and n_rows > 4 * sample:
+        frac = 4.0 * sample / n_rows
+        thresh = int(-(2**63) + frac * 2**64)
+        pdf = hashed.where(F.col("h") < F.lit(thresh)).orderBy("h").limit(sample).toPandas()
+        if len(pdf) < min(sample, n_rows):
+            pdf = None  # shortfall: fall back to the exact unfiltered pull
+    if pdf is None:
+        pdf = hashed.orderBy("h").limit(sample).toPandas()
     X = np.array(pdf["v"].tolist(), dtype=np.float64)
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]
@@ -356,14 +376,16 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     centroids=None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: corpus rows live in their
     nearest-centroid cell; each query probes its ``nprobe`` nearest
     cells; candidates are exactly re-ranked. Argmax of the centroid
     dot equals argmax cosine (row norm is constant per row), so no
-    normalization is needed in the expression."""
+    normalization is needed in the expression. ``n_rows`` (footer
+    count) lets centroid training filter its sample scan."""
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, id_col, vec_col, n_cells)
+        centroids = train_ivf_centroids(corpus, id_col, vec_col, n_cells, n_rows=n_rows)
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
     P = _centroid_matrix(centroids)

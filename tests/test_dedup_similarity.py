@@ -194,3 +194,45 @@ def test_hot_shingle_guard(spark):
         max_doc_freq_frac=0.9, n_docs=4,
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_hot_shingle_guard_auto_threshold(spark):
+    """The default max_doc_freq_frac='auto' engages the guard (a
+    broadcast LEFT ANTI join appears in the plan) once n_docs reaches
+    AUTO_GUARD_MIN_DOCS, and keeps the exact plan below it."""
+    from ocr_inference_spark.dedup import AUTO_GUARD_MIN_DOCS, jaccard_pairs
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def plan_of(**kw):
+        out = jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5, **kw)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    assert "LeftAnti" in plan_of(n_docs=AUTO_GUARD_MIN_DOCS)
+    assert "LeftAnti" not in plan_of(n_docs=AUTO_GUARD_MIN_DOCS - 1)
+    assert "LeftAnti" not in plan_of()  # n_docs unknown -> exact
+    # forcing exact overrides any corpus size
+    assert "LeftAnti" not in plan_of(n_docs=10 * AUTO_GUARD_MIN_DOCS,
+                                     max_doc_freq_frac=None)
+
+
+def test_ivf_centroids_filtered_sample_identical(spark):
+    """The footer-count hash-threshold sampling path (n_rows supplied)
+    must select the SAME deterministic sample as the unfiltered
+    TakeOrdered — the threshold keeps a superset of the global
+    ``sample`` smallest hashes — so centroids are bit-identical."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    assert n > 4 * 64  # the filter path must actually engage
+    full = train_ivf_centroids(corpus, n_cells=8, sample=64)
+    filtered = train_ivf_centroids(corpus, n_cells=8, sample=64, n_rows=n)
+    assert np.array_equal(full, filtered)
