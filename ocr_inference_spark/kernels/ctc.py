@@ -58,16 +58,17 @@ def beam_decode(
     - a plain dict mapping a word (tuple of char ids) to a log-prob —
       unigram fusion; unseen words receive the table's floor
       (min score - 2).
-    - an :class:`NGramLM` — bigram Katz-backoff fusion (the reference's
-      KenLM is an n-gram backoff model; we score the completed word
-      conditioned on the previous word, backing off to the unigram).
+    - a :class:`BackoffLM` — order-N Katz-backoff fusion (the
+      reference's KenLM is a 5-gram backoff model; we score the
+      completed word conditioned on up to order-1 previous words,
+      backing off recursively to the unigram).
 
     The LM term biases pruning and the final ranking but the reported
     score stays acoustic+LM, matching shallow-fusion semantics.
     """
     logp = log_softmax(logits)
     T, V = logp.shape
-    is_ngram = isinstance(lm, NGramLM)
+    is_ngram = isinstance(lm, BackoffLM)
     floor = (min(lm.values()) - 2.0) if (lm and not is_ngram) else 0.0
 
     def lm_word_score(prefix: tuple[int, ...]) -> float:
@@ -81,13 +82,20 @@ def beam_decode(
         if not word:
             return 0.0
         if is_ngram:
-            # previous word = the span between the two preceding spaces
+            # context = up to order-1 preceding words (spans between
+            # spaces, walking backwards; empty spans from double spaces
+            # are skipped)
+            ctx: list[tuple[int, ...]] = []
             k = j - 1  # prefix[k] is the space closing the previous word
-            i = k
-            while i > 0 and prefix[i - 1] != space_id:
-                i -= 1
-            prev = prefix[i:k] if k > 0 else ()
-            return lm_alpha * lm.word_logp(word, prev or None)
+            while k > 0 and len(ctx) < lm.order - 1:
+                i = k
+                while i > 0 and prefix[i - 1] != space_id:
+                    i -= 1
+                if k > i:
+                    ctx.append(prefix[i:k])
+                k = i - 1
+            ctx.reverse()
+            return lm_alpha * lm.word_logp(word, tuple(ctx))
         return lm_alpha * lm.get(word, floor)
 
     # beams: prefix -> (logp ending in blank, logp ending in non-blank)
@@ -133,18 +141,55 @@ def beam_decode(
     return final[:top_k]
 
 
-class NGramLM:
-    """Bigram Katz-backoff LM over char-id-tuple words (the public ARPA
+class BackoffLM:
+    """Order-N Katz-backoff LM over char-id-tuple words (the public ARPA
     backoff formulation used by SRILM/KenLM — the reference wires a
-    KenLM n-gram into decode_beams, BDRC/inference.py:95-106):
+    5-gram KenLM into decode_beams, BDRC/inference.py:95-106):
 
-        P(w2 | w1) = P_2(w1, w2)            if the bigram is listed,
-                     bo(w1) + P_1(w2)       otherwise (log domain).
+        P(w | ctx) = P_n(ctx, w)                  if the n-gram is listed,
+                     bo(ctx) + P(w | ctx[1:])     otherwise (log domain),
 
-    All probabilities natural-log. Tiny and picklable — broadcast to
-    executors exactly like the unigram table."""
+    recursing down to the unigram (unseen unigrams get the table floor).
+    ``tables[n-1]`` maps an n-word tuple (each word a char-id tuple) to
+    ``(logprob, backoff)`` — backoff 0.0 when the file omits it, and
+    unused at the highest order. All probabilities natural-log. Tiny
+    and picklable — broadcast to executors like the unigram table."""
 
-    __slots__ = ("uni", "bo", "bi", "floor")
+    __slots__ = ("order", "tables", "floor")
+
+    def __init__(self, tables: list[dict[tuple, tuple[float, float]]]):
+        if not tables:
+            raise ValueError("BackoffLM needs at least a unigram table")
+        self.order = len(tables)
+        self.tables = tables
+        uni = tables[0]
+        self.floor = (min(lp for lp, _ in uni.values()) - 2.0) if uni else 0.0
+
+    def word_logp(self, word: tuple[int, ...], context=None) -> float:
+        """P(word | context) — ``context`` is a tuple of the preceding
+        words, oldest first (a bare word tuple is accepted for the old
+        bigram call shape); only the last order-1 words are used."""
+        if context is None:
+            context = ()
+        elif context and isinstance(context[0], int):
+            context = (context,)  # single previous word (bigram shape)
+        ctx = tuple(context)[-(self.order - 1) :] if self.order > 1 else ()
+        return self._score(ctx, word)
+
+    def _score(self, ctx: tuple, word: tuple[int, ...]) -> float:
+        entry = self.tables[len(ctx)].get(ctx + (word,))
+        if entry is not None:
+            return entry[0]
+        if not ctx:
+            return self.floor
+        bo_entry = self.tables[len(ctx) - 1].get(ctx)
+        bo = bo_entry[1] if bo_entry is not None else 0.0
+        return bo + self._score(ctx[1:], word)
+
+
+class NGramLM(BackoffLM):
+    """Bigram special case of :class:`BackoffLM`, kept under the original
+    constructor shape (separate unigram / backoff / bigram dicts)."""
 
     def __init__(
         self,
@@ -152,20 +197,9 @@ class NGramLM:
         backoffs: dict[tuple[int, ...], float],
         bigrams: dict[tuple[tuple[int, ...], tuple[int, ...]], float],
     ):
-        self.uni = unigrams
-        self.bo = backoffs
-        self.bi = bigrams
-        self.floor = (min(unigrams.values()) - 2.0) if unigrams else 0.0
-
-    def word_logp(
-        self, word: tuple[int, ...], prev: tuple[int, ...] | None = None
-    ) -> float:
-        if prev is not None:
-            p = self.bi.get((prev, word))
-            if p is not None:
-                return p
-            return self.bo.get(prev, 0.0) + self.uni.get(word, self.floor)
-        return self.uni.get(word, self.floor)
+        t1 = {(w,): (lp, backoffs.get(w, 0.0)) for w, lp in unigrams.items()}
+        t2 = {k: (lp, 0.0) for k, lp in bigrams.items()}
+        super().__init__([t1, t2])
 
 
 def parse_arpa_unigrams(arpa_text: str) -> dict[str, float]:
@@ -265,6 +299,79 @@ def arpa_bigram_lm(arpa_text: str, encode) -> NGramLM:
     bo = {key(t): b * ln10 for t, (_, b) in unigrams.items() if b != 0.0}
     bi = {(key(a), key(b_)): lp * ln10 for (a, b_), lp in bigrams.items()}
     return NGramLM(uni, bo, bi)
+
+
+def parse_arpa(arpa_text: str) -> list[dict[tuple[str, ...], tuple[float, float]]]:
+    """Parse EVERY ``\\N-grams:`` section of an ARPA file (SRILM
+    ngram-format(5); what KenLM reads) into a list indexed by n-1:
+    ``{(w1..wn): (log10-prob, log10-backoff)}``, backoff 0.0 when the
+    column is absent (always at the highest order). Rows containing
+    sentinel tokens are dropped — CTC output never produces them.
+    Sections may appear in any order; gaps raise (a backoff chain needs
+    every lower order)."""
+    import re
+
+    sections: dict[int, dict[tuple[str, ...], tuple[float, float]]] = {}
+    n = 0
+    for line in arpa_text.splitlines():
+        line = line.strip()
+        m = re.fullmatch(r"\\(\d+)-grams:", line)
+        if m:
+            n = int(m.group(1))
+            sections.setdefault(n, {})
+            continue
+        if line.startswith("\\"):
+            n = 0
+            continue
+        if not line or line.startswith("#") or n <= 0:
+            continue
+        parts = line.split()
+        if len(parts) < n + 1:
+            continue
+        try:
+            lp = float(parts[0])
+        except ValueError:
+            continue
+        words = tuple(parts[1 : n + 1])
+        if any(w in _ARPA_SENTINELS for w in words):
+            continue
+        bo = 0.0
+        if len(parts) >= n + 2:
+            try:
+                bo = float(parts[n + 1])
+            except ValueError:
+                bo = 0.0
+        sections[n][words] = (lp, bo)
+    if not sections:
+        return []
+    top = max(sections)
+    missing = [i for i in range(1, top + 1) if i not in sections]
+    if missing:
+        raise ValueError(f"ARPA file missing \\{missing[0]}-grams: section")
+    return [sections[i] for i in range(1, top + 1)]
+
+
+def arpa_backoff_lm(arpa_text: str, encode, order: int | None = 3) -> BackoffLM:
+    """ARPA file content -> :class:`BackoffLM` for order-N shallow
+    fusion (char-id-tuple words, natural-log probs). ``order`` truncates
+    the model (default trigram — the eval-mode setting; pass ``None``
+    to keep the file's full order, e.g. 5 for a KenLM-style model)."""
+    ln10 = math.log(10.0)
+    raw = parse_arpa(arpa_text)
+    if order is not None:
+        raw = raw[:order]
+
+    def key(tok: str) -> tuple[int, ...]:
+        return tuple(int(i) for i in encode(tok))
+
+    tables = [
+        {
+            tuple(key(w) for w in words): (lp * ln10, bo * ln10)
+            for words, (lp, bo) in tbl.items()
+        }
+        for tbl in raw
+    ]
+    return BackoffLM(tables)
 
 
 def build_unigram_lm(word_counts: dict[str, int], encode) -> dict[tuple[int, ...], float]:

@@ -214,3 +214,85 @@ def test_parse_arpa_ngrams_and_bigram_fusion():
     assert math.isclose(lm.word_logp(fox, dog), -2.0 * ln10)
     # seen context, unseen continuation: bo(the) + floor
     assert math.isclose(lm.word_logp(dog, the), -0.2 * ln10 + lm.floor)
+
+
+_ARPA_TRIGRAM = "\n".join([
+    "\\data\\",
+    "ngram 1=4",
+    "ngram 2=2",
+    "ngram 3=2",
+    "",
+    "\\1-grams:",
+    "-0.5\ta\t-0.1",
+    "-0.5\tb\t-0.1",
+    "-0.6\tc\t-0.1",
+    "-0.9\td\t-0.1",
+    "\\2-grams:",
+    "-0.05\tb c\t-0.1",
+    "-1.3\tb d\t-0.1",
+    "\\3-grams:",
+    "-6.0\ta b c",
+    "-0.004\ta b d",
+    "\\end\\",
+])
+_ENC = lambda w: [{"a": 1, "b": 2, "c": 3, "d": 4}[ch] for ch in w]  # noqa: E731
+
+
+def test_parse_arpa_all_orders_and_recursive_backoff():
+    import pytest
+
+    from ocr_inference_spark.kernels.ctc import arpa_backoff_lm, parse_arpa
+
+    tables = parse_arpa(_ARPA_TRIGRAM)
+    assert len(tables) == 3
+    assert tables[1][("b", "c")] == (-0.05, -0.1)
+    assert tables[2][("a", "b", "d")] == (-0.004, 0.0)
+
+    ln10 = math.log(10.0)
+    lm = arpa_backoff_lm(_ARPA_TRIGRAM, _ENC, order=None)
+    A, B, C, D = (1,), (2,), (3,), (4,)
+    assert lm.order == 3
+    assert math.isclose(lm.word_logp(C, (A, B)), -6.0 * ln10)  # listed 3-gram
+    # trigram miss (c b d): bo of unlisted bigram (c,b) = 0 + P2(d|b)
+    assert math.isclose(lm.word_logp(D, (C, B)), -1.3 * ln10)
+    # trigram+bigram miss (c a d): bo((c,a))=0 + bo((a,))=-0.1 + P1(d)
+    assert math.isclose(lm.word_logp(D, (C, A)), (-0.1 - 0.9) * ln10)
+    # context longer than order-1 is truncated to the last 2 words
+    assert math.isclose(lm.word_logp(C, (D, A, B)), -6.0 * ln10)
+    # order truncation: as a bigram model the 3-gram table is gone
+    lm2 = arpa_backoff_lm(_ARPA_TRIGRAM, _ENC, order=2)
+    assert lm2.order == 2
+    assert math.isclose(lm2.word_logp(C, (A, B)), -0.05 * ln10)
+
+    with pytest.raises(ValueError, match="2-grams"):
+        parse_arpa("\\1-grams:\n-0.5\ta\n\\3-grams:\n-0.1\ta a a\n")
+
+
+def test_trigram_fusion_beats_bigram():
+    """I33 at order 3: the final word is acoustically AND
+    bigram-preferred as 'c'; only the trigram context (a b _) knows it
+    should be 'd'. Decoding with order=2 stays wrong, order=3 fixes it
+    (the reference's KenLM family is a 5-gram; this pins that extra
+    orders actually change the decision)."""
+    from ocr_inference_spark.kernels.ctc import arpa_backoff_lm, beam_decode
+
+    # vocab: 0=blank, 1='a', 2='b', 3='c', 4='d', 5=' '
+    SP = 5
+    logits = np.full((6, 6), -10.0)
+    logits[0, 1] = 10.0   # 'a'
+    logits[1, SP] = 10.0  # ' '
+    logits[2, 2] = 10.0   # 'b'
+    logits[3, SP] = 10.0  # ' '
+    logits[4, 3] = 1.2    # 'c' (acoustic winner)
+    logits[4, 4] = 1.0    # 'd'
+    logits[5, 0] = 10.0   # blank
+
+    bi = arpa_backoff_lm(_ARPA_TRIGRAM, _ENC, order=2)
+    with_bi = beam_decode(logits, beam_width=16, top_k=3, lm=bi,
+                          lm_alpha=1.0, space_id=SP)
+    assert with_bi[0][0] == (1, SP, 2, SP, 3)  # "a b c" — still wrong
+
+    tri = arpa_backoff_lm(_ARPA_TRIGRAM, _ENC)  # default order=3
+    with_tri = beam_decode(logits, beam_width=16, top_k=3, lm=tri,
+                           lm_alpha=1.0, space_id=SP)
+    assert with_tri[0][0] == (1, SP, 2, SP, 4)  # "a b d" — trigram fixes it

@@ -122,6 +122,77 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     assert 5 in ids                        # new key in batch 2 kept
 
 
+def test_streaming_dedup_survives_restart(spark, tmp_path):
+    """Kill/restart exactly-once: run the stateful dedup with a
+    checkpoint dir, stop the query after at least one committed batch
+    (possibly mid-stream), add more files — containing duplicates of
+    keys seen before the stop — and restart a NEW query from the SAME
+    checkpoint. The reloaded state store must suppress the cross-restart
+    duplicates, and no pre-stop row may be emitted twice. This is the
+    exactly-once property the checkpoint's state store exists for
+    (within-run state alone is covered by
+    test_streaming_stateful_exact_dedup)."""
+    import time
+
+    from ocr_inference_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    out_path = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_file([(1, "key alpha"), (2, "key beta")])
+    write_file([(3, "key alpha"), (4, "key gamma")])  # 3 = dup of 1
+
+    def start(trigger_kwargs):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            streaming_exact_dedup(stream, "doc_id", "text")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # run 1: stop after >=1 committed batch (location of the stop in the
+    # file sequence does not matter for the assertion)
+    q1 = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p is not None and p["batchId"] >= 0:
+            break
+        time.sleep(0.2)
+    else:
+        raise AssertionError("run 1 never committed a batch")
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # new arrivals while "down": every key except 'delta' is a duplicate
+    # of a key the pre-restart state already saw
+    write_file([(5, "key beta"), (6, "key gamma"), (7, "key delta")])
+
+    # run 2: fresh query object, same checkpoint -> offsets + state reload
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(180)
+
+    rows = spark.read.parquet(out_path).collect()
+    got = {r["dup_key"]: r["id"] for r in rows}
+    assert len(rows) == len(got) == 4, rows  # no key emitted twice, ever
+    assert sorted(got.values()) == [1, 2, 4, 7]  # first-arrival ids only
+
+
 def test_streaming_quality_gate(spark, tmp_path):
     from ocr_inference_spark.streaming import streaming_quality_gate
 
