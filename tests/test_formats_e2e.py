@@ -19,15 +19,23 @@ def _tuples(spans):
 @pytest.fixture(scope="module")
 def mixed_format_corpus(spark):
     documents, pages, expected = build_corpus(n_docs=6, seed=11)
-    # round-robin re-encode: PNG originals -> JPEG / TIFF / PNG
+    # round-robin re-encode: PNG originals -> JPEG / uncompressed TIFF /
+    # LZW+predictor TIFF / Deflate TIFF / PNG (the compressed TIFFs are
+    # what real scan archives actually ship)
     for i, page in enumerate(pages):
         img = png_decode(page["content"])
-        if i % 3 == 0:
+        if i % 5 == 0:
             page["content"] = jpeg_encode(img, quality=95)
-        elif i % 3 == 1:
+        elif i % 5 == 1:
             page["content"] = tiff_encode(img)
-    formats = {i % 3 for i in range(len(pages))}
-    assert formats == {0, 1, 2}, "fixture must exercise all three formats"
+        elif i % 5 == 2:
+            page["content"] = tiff_encode(
+                img, compression="lzw", predictor=2, rows_per_strip=64
+            )
+        elif i % 5 == 3:
+            page["content"] = tiff_encode(img, compression="deflate", predictor=2)
+    formats = {i % 5 for i in range(len(pages))}
+    assert formats == {0, 1, 2, 3, 4}, "fixture must exercise all five formats"
     docs_df, pages_df = corpus_to_spark(spark, documents, pages)
     return docs_df, pages_df, expected
 

@@ -133,20 +133,85 @@ def test_tiff_big_endian_decode():
     assert np.array_equal(tiff_decode(data), img)
 
 
-def test_tiff_rejects_compressed():
+def test_tiff_rejects_unsupported_compression():
     import struct
 
     data = bytearray(tiff_encode(_test_image_gray(8, 8)))
-    # flip the compression SHORT (tag 259) to 5 (LZW)
+    # flip the compression SHORT (tag 259) to 7 (JPEG-in-TIFF)
     ifd_off = struct.unpack("<I", bytes(data[4:8]))[0]
     n = struct.unpack("<H", bytes(data[ifd_off : ifd_off + 2]))[0]
     for i in range(n):
         off = ifd_off + 2 + i * 12
         tag = struct.unpack("<H", bytes(data[off : off + 2]))[0]
         if tag == 259:
-            data[off + 8 : off + 10] = struct.pack("<H", 5)
+            data[off + 8 : off + 10] = struct.pack("<H", 7)
     with pytest.raises(ValueError, match="compression"):
         tiff_decode(bytes(data))
+
+
+@pytest.mark.parametrize("comp,pred,rps", [
+    ("lzw", 1, None),
+    ("lzw", 2, None),
+    ("lzw", 2, 16),
+    ("deflate", 1, None),
+    ("deflate", 2, 13),
+    ("lzw", 2, 1),
+])
+def test_tiff_compressed_roundtrip_exact(comp, pred, rps):
+    """LZW (TIFF 6.0 §13, early-change widths) and Deflate strips, with
+    and without the horizontal-differencing predictor, single- and
+    multi-strip — all byte-exact through encode->decode."""
+    for img in (_test_image_gray(61, 83), _test_image_rgb(37, 59)):
+        data = tiff_encode(img, compression=comp, predictor=pred, rows_per_strip=rps)
+        assert sniff_format(data) == "tiff"
+        assert np.array_equal(tiff_decode(data), img)
+        if pred == 2 and rps is None:
+            # differenced scanlines of this smooth image must compress
+            assert len(data) < len(tiff_encode(img))
+
+
+def test_tiff_lzw_java_imageio_fixture_interop():
+    """Real-world LZW convention pin: these fixtures were written by
+    Java ImageIO's TIFF plugin (an independent libtiff-convention
+    implementation); content is the deterministic (3x+5y)%256 /
+    channel-mixed pattern recomputed here. Guards the early-change
+    code-width pairing against self-consistent-but-wrong drift."""
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    y, x = np.mgrid[0:48, 0:64]
+    gray = ((3 * x + 5 * y) % 256).astype(np.uint8)
+    with open(os.path.join(here, "java_lzw_gray_64x48.tif"), "rb") as f:
+        assert np.array_equal(tiff_decode(f.read()), gray)
+    rgb = np.stack(
+        [(2 * x + y) % 256, (x + 3 * y) % 256, (7 * x + 11 * y) % 256], axis=-1
+    ).astype(np.uint8)[:24, :32]
+    with open(os.path.join(here, "java_lzw_rgb_32x24.tif"), "rb") as f:
+        assert np.array_equal(tiff_decode(f.read()), rgb)
+
+
+def test_lzw_stream_roundtrip_with_table_reset():
+    """Payload large/diverse enough to push the code table past 4093
+    entries forces a mid-stream ClearCode reset; roundtrip stays exact.
+    Truncated streams terminate with partial output, never hang."""
+    from ocr_inference_spark.imgcodec import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(3)
+    payload = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
+    enc = lzw_encode(payload)
+    assert lzw_decode(enc) == payload
+    partial = lzw_decode(enc[: len(enc) // 3])
+    assert payload.startswith(partial) and len(partial) > 0
+    assert lzw_decode(lzw_encode(b"")) == b""
+
+
+def test_tiff_lzw_truncated_raises():
+    img = _test_image_gray(32, 32)
+    data = tiff_encode(img, compression="lzw", predictor=2)
+    # cut inside the strip data: decode must terminate (short strip ->
+    # clear error, no hang)
+    with pytest.raises(Exception):
+        tiff_decode(data[:60] + data[-200:])
 
 
 # ---------------------------------------------------------------------------
