@@ -8,12 +8,17 @@ OpenCV/Pillow, so — like :mod:`.imgcodec`'s PNG support — this is a
 from-scratch implementation of the public ITU-T T.81 / ISO 10918-1
 baseline sequential DCT process:
 
-- decoder: 8-bit baseline (SOF0), grayscale or YCbCr with 4:4:4 /
-  4:2:0 / 4:2:2 sampling, restart markers, multiple DQT/DHT segments.
-  Progressive (SOF2) and arithmetic coding raise a clear error.
-- encoder: grayscale or RGB->YCbCr 4:4:4, Annex-K quantization tables
-  scaled by a libjpeg-style quality factor, Annex-K Huffman tables,
-  optional restart interval.
+- decoder: 8-bit baseline (SOF0/SOF1) — grayscale or YCbCr with
+  4:4:4 / 4:2:0 / 4:2:2 sampling, interleaved or one-scan-per-
+  component, restart markers, multiple DQT/DHT segments — and
+  progressive (SOF2, spectral selection + successive approximation per
+  T.81 §G; cross-validated against Java ImageIO's independent
+  implementation, tests/data/java_prog_*.jpg). Lossless/arithmetic
+  processes raise a clear error.
+- encoder: grayscale or RGB->YCbCr 4:4:4 / 4:2:0, Annex-K quantization
+  tables scaled by a libjpeg-style quality factor, Annex-K Huffman
+  tables, optional restart interval, optional non-interleaved scans;
+  plus a progressive (SOF2) encoder with a coarse-to-fine scan script.
 
 Performance posture: entropy (Huffman) decode is inherently bit-serial
 so it runs in Python with a 16-bit lookup table per Huffman code; the
@@ -241,17 +246,29 @@ def _extend(value: int, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> (H,W) grayscale or (H,W,3) RGB uint8."""
+    """Decode JPEG bytes -> (H,W) grayscale or (H,W,3) RGB uint8.
+
+    Supported processes: baseline/extended sequential DCT (SOF0/SOF1,
+    interleaved or one-scan-per-component) and progressive DCT (SOF2,
+    spectral selection + successive approximation per ITU-T T.81 §G).
+    Coefficients accumulate across scans into per-component block
+    arrays; the image is reconstructed once at EOI (or end of data)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _DecodeTable] = {}  # (class, id)
     frame = None
+    comp_states = None  # id -> per-component coefficient state
+    order = None  # frame-ordered component states
     restart_interval = 0
-    while pos < len(data):
+    n = len(data)
+    while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # legal 0xFF fill bytes may pad before the marker code
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -282,11 +299,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + n])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
                 htables[(tc, th)] = _DecodeTable(bits, vals)
-                p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -296,33 +313,76 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": sampling >> 4, "v": sampling & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); "
-                "only baseline sequential DCT is implemented"
+                "only baseline sequential and progressive DCT are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
-            ns = payload[0]
-            scan = []
-            for i in range(ns):
-                cs, tables = payload[1 + 2 * i], payload[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                data, pos, frame, scan, qtables, htables, restart_interval
+            if comp_states is None:
+                comp_states, order = _alloc_comp_states(frame)
+            pos = _decode_sos(
+                data, pos, payload, frame, comp_states, htables, restart_interval
             )
         # APPn/COM and anything else: skipped
-    raise ValueError("no SOS marker found")
+    if frame is None or comp_states is None:
+        raise ValueError("no SOS marker found")
+    unscanned = [st["id"] for st in order if not st["scanned"]]
+    if unscanned:
+        raise ValueError(f"no scan covered component(s) {unscanned}")
+    return _reconstruct(frame, order, qtables)
+
+
+def _alloc_comp_states(frame):
+    """Per-component coefficient storage: MCU-padded block grids (the
+    interleaved layout) with the component's own non-interleaved grid
+    (nbx, nby — T.81 A.2.2: ceil(comp_w/8) x ceil(comp_h/8)) recorded
+    for single-component scans."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+    states = {}
+    order = []
+    for c in frame["comps"]:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        comp_w = -(-w * c["h"] // hmax)
+        comp_h = -(-h * c["v"] // vmax)
+        st = {
+            "id": c["id"],
+            "h": c["h"],
+            "v": c["v"],
+            "tq": c["tq"],
+            "bw": bw,
+            "bh": bh,
+            "nbx": -(-comp_w // 8),
+            "nby": -(-comp_h // 8),
+            "coef": np.zeros((bh * bw, 64), dtype=np.int32),
+            "pred": 0,
+            "dc": None,
+            "ac": None,
+            "scanned": False,
+        }
+        states[c["id"]] = st
+        order.append(st)
+    return states, order
 
 
 def _entropy_segment(data: bytes, pos: int) -> tuple[bytes, int]:
     """Unstuff entropy-coded bytes from ``pos`` up to the next
-    non-restart marker; returns (unstuffed bytes, marker position)."""
+    non-restart marker; returns (unstuffed bytes, position of the 0xFF
+    immediately preceding the marker code). Legal 0xFF fill bytes
+    before a marker are consumed (T.81 B.1.1.2), so the caller can
+    always probe the marker code at ``pos + 1``."""
     buf = bytearray()
     i = pos
     n = len(data)
@@ -334,93 +394,120 @@ def _entropy_segment(data: bytes, pos: int) -> tuple[bytes, int]:
                 buf.append(0xFF)
                 i += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn — segment boundary
-                return bytes(buf), i
-            return bytes(buf), i
+            if nxt == 0xFF:  # fill byte before a marker
+                i += 1
+                continue
+            return bytes(buf), i  # RSTn or any other marker
         buf.append(b)
         i += 1
     return bytes(buf), n
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
+def _decode_sos(data, pos, payload, frame, comp_states, htables, restart_interval):
+    """Decode one scan's entropy data into the per-component coefficient
+    arrays; returns the position of the marker ending the scan.
 
-    # per-component coefficient storage (blocks in MCU raster order)
-    comp_state = []
-    for comp, dc_id, ac_id in scan:
-        bw = mcus_x * comp["h"]  # blocks per row
-        bh = mcus_y * comp["v"]
-        comp_state.append(
-            {
-                "comp": comp,
-                "dc": htables[(0, dc_id)],
-                "ac": htables[(1, ac_id)],
-                "q": qtables[comp["tq"]][UNZIGZAG].reshape(8, 8),
-                "coef": np.zeros((bh * bw, 64), dtype=np.int32),
-                "bw": bw,
-                "bh": bh,
-                "pred": 0,
-            }
-        )
+    Geometry per T.81 A.2: interleaved scans (ns > 1) walk frame MCUs,
+    each component contributing h x v blocks per MCU; single-component
+    scans walk the component's OWN ceil(w_c/8) x ceil(h_c/8) block grid
+    — sampling factors do not apply (A.2.2) — and the restart interval
+    counts blocks. Progressive scans (T.81 §G) carry a spectral band
+    [Ss, Se] and successive-approximation bit position (Ah -> Al)."""
+    ns = payload[0]
+    scan = []
+    for i in range(ns):
+        cs, tables = payload[1 + 2 * i], payload[2 + 2 * i]
+        st = comp_states.get(cs)
+        if st is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        st["dc"] = htables.get((0, tables >> 4))
+        st["ac"] = htables.get((1, tables & 0x0F))
+        st["pred"] = 0
+        st["scanned"] = True
+        scan.append(st)
+    p = 1 + 2 * ns
+    ss, se, a = payload[p], payload[p + 1], payload[p + 2]
+    ah, al = a >> 4, a & 0x0F
+    progressive = frame["progressive"]
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    elif ss > se or se > 63:
+        raise ValueError(f"bad spectral band [{ss}, {se}]")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0 (T.81 G.1)")
+    if progressive and ss > 0 and ns != 1:
+        raise ValueError("progressive AC scans must be non-interleaved (T.81 G.1)")
+    for st in scan:
+        if ss == 0 and ah == 0 and st["dc"] is None:
+            raise ValueError("scan needs an undefined DC Huffman table")
+        if (not progressive or ss > 0) and st["ac"] is None:
+            raise ValueError("scan needs an undefined AC Huffman table")
 
-    reader = _BitReader(b"")
+    mcus_x = frame["mcus_x"]
+    if ns > 1:
+        n_units = mcus_x * frame["mcus_y"]
+    else:
+        n_units = scan[0]["nbx"] * scan[0]["nby"]
+    eobrun = 0
     seg, next_pos = _entropy_segment(data, pos)
     reader = _BitReader(seg)
-    mcu = 0
-    while mcu < n_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            # expect RSTn at next_pos; reset predictors + bit buffer
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            # expect RSTn at next_pos; reset predictors + EOB run + bits
             if next_pos + 1 < len(data) and 0xD0 <= data[next_pos + 1] <= 0xD7:
                 seg, next_pos = _entropy_segment(data, next_pos + 2)
                 reader = _BitReader(seg)
-                for st in comp_state:
+                for st in scan:
                     st["pred"] = 0
-        my, mx = divmod(mcu, mcus_x)
-        for st in comp_state:
-            ch, cv = st["comp"]["h"], st["comp"]["v"]
-            for by in range(cv):
-                for bx in range(ch):
-                    block = _decode_block(reader, st)
-                    row = my * cv + by
-                    col = mx * ch + bx
-                    st["coef"][row * st["bw"] + col] = block
-        mcu += 1
-
-    # reconstruct each component: dequantize + batched IDCT + +128
-    planes = []
-    for st in comp_state:
-        coefs = st["coef"][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-        coefs *= st["q"][None, :, :]
-        spatial = _idct_blocks(coefs) + 128.0
-        bh, bw = st["bh"], st["bw"]
-        plane = (
-            spatial.reshape(bh, bw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
-        )
-        # upsample to full resolution (sample replication)
-        ry, rx = vmax // st["comp"]["v"], hmax // st["comp"]["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:h, :w])
-
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+                eobrun = 0
+        if ns > 1:
+            my, mx = divmod(unit, mcus_x)
+            for st in scan:
+                ch, cv = st["h"], st["v"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        idx = (my * cv + by) * st["bw"] + (mx * ch + bx)
+                        eobrun = _decode_unit(
+                            reader, st, st["coef"][idx], ss, se, ah, al,
+                            progressive, eobrun,
+                        )
+        else:
+            st = scan[0]
+            my, mx = divmod(unit, st["nbx"])
+            eobrun = _decode_unit(
+                reader, st, st["coef"][my * st["bw"] + mx], ss, se, ah, al,
+                progressive, eobrun,
+            )
+    return next_pos
 
 
-def _decode_block(reader: _BitReader, st) -> np.ndarray:
-    block = np.zeros(64, dtype=np.int32)
+def _decode_unit(reader, st, block, ss, se, ah, al, progressive, eobrun):
+    """Decode one 8x8 block's contribution for the current scan into
+    ``block`` (a (64,) int32 zigzag-ordered view). Returns the updated
+    scan-level EOB run."""
+    if not progressive:
+        _decode_block_seq(reader, st, block)
+        return 0
+    if ss == 0:  # DC scan
+        if ah == 0:
+            dc_tbl = st["dc"]
+            look = reader.peek16()
+            size = int(dc_tbl.sym[look])
+            if size < 0:
+                raise ValueError("invalid DC Huffman code")
+            reader.skip(int(dc_tbl.length[look]))
+            st["pred"] += _extend(reader.read(size), size)
+            block[0] = st["pred"] << al
+        elif reader.read(1):
+            block[0] |= 1 << al
+        return eobrun
+    if ah == 0:
+        return _decode_ac_first(reader, st, block, ss, se, al, eobrun)
+    return _decode_ac_refine(reader, st, block, ss, se, al, eobrun)
+
+
+def _decode_block_seq(reader: _BitReader, st, block) -> None:
+    """Sequential-mode block: DC diff + full AC band (T.81 F.2)."""
     dc_tbl, ac_tbl = st["dc"], st["ac"]
     look = reader.peek16()
     size = int(dc_tbl.sym[look])
@@ -448,7 +535,118 @@ def _decode_block(reader: _BitReader, st) -> np.ndarray:
             raise ValueError("AC run overflows block")
         block[k] = _extend(reader.read(size), size)
         k += 1
-    return block
+
+
+def _decode_ac_first(reader, st, block, ss, se, al, eobrun):
+    """First AC scan of a band (T.81 G.1.2.2): run-length coded
+    magnitudes scaled by 2^Al, with EOBn codes spanning whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    ac_tbl = st["ac"]
+    k = ss
+    while k <= se:
+        look = reader.peek16()
+        rs = int(ac_tbl.sym[look])
+        if rs < 0:
+            raise ValueError("invalid AC Huffman code")
+        reader.skip(int(ac_tbl.length[look]))
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        block[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(reader, st, block, ss, se, al, eobrun):
+    """AC refinement scan (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient; newly-significant coefficients arrive
+    as (run, 1) codes whose run counts only zero-history positions."""
+    p1 = 1 << al
+    m1 = -1 << al
+    ac_tbl = st["ac"]
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            look = reader.peek16()
+            rs = int(ac_tbl.sym[look])
+            if rs < 0:
+                raise ValueError("invalid AC Huffman code")
+            reader.skip(int(ac_tbl.length[look]))
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            elif s != 1:
+                raise ValueError("refinement scan with magnitude > 1")
+            else:
+                val = p1 if reader.read(1) else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read(1) and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read(1) and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, order, qtables):
+    """Dequantize + batched IDCT + upsample + color transform."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for st in order:
+        q = qtables[st["tq"]][UNZIGZAG].reshape(8, 8)
+        coefs = st["coef"][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        coefs *= q[None, :, :]
+        spatial = _idct_blocks(coefs) + 128.0
+        bh, bw = st["bh"], st["bw"]
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution (sample replication)
+        ry, rx = vmax // st["v"], hmax // st["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -524,6 +722,7 @@ def jpeg_encode(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Encode (H,W) grayscale or (H,W,3) RGB uint8 as baseline JFIF.
 
@@ -532,7 +731,10 @@ def jpeg_encode(
     camera/scanner layout). ``restart_interval`` > 0 emits a DRI
     segment and an RSTn marker every that many MCUs (predictors reset,
     bitstream byte-aligned) — the error-resilience feature real scan
-    archives carry."""
+    archives carry. ``interleaved=False`` writes one SOS per component
+    (legal baseline per T.81 A.2.2; each scan walks the component's own
+    ceil(w_c/8) x ceil(h_c/8) grid) — the multi-scan sequential layout
+    some scanner firmware emits."""
     if img.dtype != np.uint8:
         raise ValueError(f"jpeg_encode expects uint8, got {img.dtype}")
     gray = img.ndim == 2
@@ -577,16 +779,9 @@ def jpeg_encode(
         out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
     if restart_interval > 0:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([ncomp, 1, 0x00])
-    if not gray:
-        sos += bytes([2, 0x11, 3, 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    writer = _BitWriter()
 
     # component planes + per-MCU block layout
     if gray:
@@ -625,23 +820,342 @@ def jpeg_encode(
                 (_quantized_zigzag(crp, qc), mcus_x, 1, 1, dc_c, ac_c),
             ]
 
-    preds = [0] * len(comps)
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.flush()  # byte-align before the marker
-            writer.buf += bytes([0xFF, 0xD0 + (rst % 8)])
-            rst += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
+    if interleaved or gray:
+        sos = bytes([ncomp, 1, 0x00])
+        if not gray:
+            sos += bytes([2, 0x11, 3, 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        writer = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()  # byte-align before the marker
+                writer.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * len(comps)
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (zz, bw, ch, cv, dc_t, ac_t) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        idx = (my * cv + by) * bw + (mx * ch + bx)
+                        preds[ci] = _write_block(zz[idx], writer, dc_t, ac_t, preds[ci])
+        writer.flush()
+        out += writer.buf
+    else:
+        # one SOS per component; each walks its OWN ceil(w_c/8) x
+        # ceil(h_c/8) grid (sampling factors do not apply, T.81 A.2.2);
+        # restart interval counts blocks, counter resets per scan
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
         for ci, (zz, bw, ch, cv, dc_t, ac_t) in enumerate(comps):
-            for by in range(cv):
-                for bx in range(ch):
-                    idx = (my * cv + by) * bw + (mx * ch + bx)
-                    preds[ci] = _write_block(zz[idx], writer, dc_t, ac_t, preds[ci])
-    writer.flush()
-    out += writer.buf
+            tbl_id = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (tbl_id << 4) | tbl_id, 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            comp_w = -(-w * ch // hmax)
+            comp_h = -(-h * cv // vmax)
+            nbx = -(-comp_w // 8)
+            nby = -(-comp_h // 8)
+            writer = _BitWriter()
+            pred = 0
+            rst = 0
+            for bi in range(nbx * nby):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    writer.flush()
+                    writer.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    pred = 0
+                by, bx = divmod(bi, nbx)
+                pred = _write_block(zz[by * bw + bx], writer, dc_t, ac_t, pred)
+            writer.flush()
+            out += writer.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — spectral selection + successive
+# approximation per T.81 §G.1.2. Used to produce real progressive
+# streams for the decoder (the common in-the-wild JPEG flavor).
+# ---------------------------------------------------------------------------
+
+# Flat AC Huffman table covering ALL 256 symbols (128 at 8 bits, 128 at
+# 9; canonical, no all-ones code) — progressive AC scans need EOBn
+# symbols (r<<4 for r>0) that the Annex-K baseline tables do not carry.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
+
+
+class _ProgACState:
+    """Scan-level EOB-run accumulator (+ the correction bits buffered
+    against it in refinement scans)."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _flush_eobrun(writer, ac_codes, state):
+    """Emit the pending EOBn code (+ appended correction bits)."""
+    n = state.eobrun
+    if n == 0:
+        return
+    r = n.bit_length() - 1
+    code, length = ac_codes[r << 4]
+    writer.write(code, length)
+    if r:
+        writer.write(n - (1 << r), r)
+    for b in state.bits:
+        writer.write(b, 1)
+    state.eobrun = 0
+    state.bits = []
+
+
+def _encode_ac_first(writer, ac_codes, band, al, state):
+    """First AC scan of a band: magnitudes point-transformed by 2^Al
+    (sign-preserving truncation), run-length + EOB-run coded."""
+    t = [(abs(v) >> al) * (1 if v > 0 else -1) for v in band]
+    last = -1
+    for i, x in enumerate(t):
+        if x:
+            last = i
+    if last == -1:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+        return
+    _flush_eobrun(writer, ac_codes, state)
+    r = 0
+    for i in range(last + 1):
+        x = t[i]
+        if x == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+        s = abs(x).bit_length()
+        code, length = ac_codes[(r << 4) | s]
+        writer.write(code, length)
+        writer.write(x if x > 0 else x + (1 << s) - 1, s)
+        r = 0
+    if last < len(t) - 1:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def _encode_ac_refine(writer, ac_codes, band, al, state):
+    """AC refinement scan: newly-significant coefficients as (run,1)
+    codes whose run counts only zero-history positions; one correction
+    bit per already-nonzero coefficient, buffered and emitted after the
+    next symbol (or folded into the EOB run) — the emission discipline
+    the decoder's interleaved walk expects."""
+    a = [abs(v) >> al for v in band]
+    eob = -1
+    for i, x in enumerate(a):
+        if x == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, x in enumerate(a):
+        if x == 0:
+            r += 1
+            continue
+        # break long zero runs only while a newly-significant coefficient
+        # is still ahead; beyond it they fold into the EOB run
+        while r > 15 and i <= eob:
+            _flush_eobrun(writer, ac_codes, state)
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if x > 1:
+            br.append(x & 1)
+            continue
+        _flush_eobrun(writer, ac_codes, state)
+        code, length = ac_codes[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if band[i] > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eobrun += 1
+        state.bits.extend(br)
+        if state.eobrun == 0x7FFF:
+            _flush_eobrun(writer, ac_codes, state)
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode (H,W) grayscale or (H,W,3) RGB uint8 as progressive JFIF
+    (SOF2), 4:4:4 or 4:2:0.
+
+    Scan script (the common coarse-to-fine shape): interleaved DC first
+    scan at Al=1; per component AC bands 1-5 then 6-63 at Al=1; per
+    component AC refinement 1-63 (Ah=1 -> Al=0); interleaved DC
+    refinement. AC scans are non-interleaved over each component's own
+    ceil(w_c/8) x ceil(h_c/8) grid per T.81 A.2.2."""
+    if img.dtype != np.uint8:
+        raise ValueError(f"jpeg_encode_progressive expects uint8, got {img.dtype}")
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"unsupported shape {img.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = (not gray) and subsampling == "420"
+    h, w = img.shape[:2]
+    qy = _quality_scale(Q_LUMA, quality)
+    qc = _quality_scale(Q_CHROMA, quality)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qy.tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc.tolist())
+    ncomp = 1 if gray else 3
+    y_sampling = 0x22 if sub420 else 0x11
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += bytes([1, y_sampling, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    # DHT: Annex-K DC tables + the flat AC table (id 0) all comps share
+    dht_specs = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS), (1, 0, PROG_AC_BITS, PROG_AC_VALS)]
+    if not gray:
+        dht_specs.append((0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    for tc, th, bits, vals in dht_specs:
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    # component planes -> quantized zigzag blocks (baseline layout)
+    if gray:
+        yp = _pad8(img.astype(np.float64))
+        plane_specs = [(yp, qy, 1, 1, 0)]
+        mcus_x, mcus_y = yp.shape[1] // 8, yp.shape[0] // 8
+        hmax = vmax = 1
+    else:
+        rgb = img.astype(np.float64)
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        if sub420:
+            yp = _pad_to(y, 16)
+            ph, pw = yp.shape
+            cbp = _pad_to(cb, 16).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            crp = _pad_to(cr, 16).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            mcus_x, mcus_y = pw // 16, ph // 16
+            hmax = vmax = 2
+            plane_specs = [(yp, qy, 2, 2, 0), (cbp, qc, 1, 1, 1), (crp, qc, 1, 1, 1)]
+        else:
+            yp, cbp, crp = (_pad8(p) for p in (y, cb, cr))
+            mcus_x, mcus_y = yp.shape[1] // 8, yp.shape[0] // 8
+            hmax = vmax = 1
+            plane_specs = [(yp, qy, 1, 1, 0), (cbp, qc, 1, 1, 1), (crp, qc, 1, 1, 1)]
+    comps = []
+    for ci, (plane, qtbl, chs, cvs, dc_id) in enumerate(plane_specs):
+        zz = _quantized_zigzag(plane, qtbl)
+        bw = plane.shape[1] // 8
+        comp_w = -(-w * chs // hmax)
+        comp_h = -(-h * cvs // vmax)
+        comps.append(
+            {
+                "cid": ci + 1,
+                "zz": zz,
+                "bw": bw,
+                "h": chs,
+                "v": cvs,
+                "dc_id": dc_id,
+                "nbx": -(-comp_w // 8),
+                "nby": -(-comp_h // 8),
+            }
+        )
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos(scan_comps, ss, se, ah, al, body: bytes) -> bytes:
+        hdr = bytes([len(scan_comps)])
+        for c in scan_comps:
+            hdr += bytes([c["cid"], (c["dc_id"] << 4) | 0])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr + body
+
+    # scan 1: DC first, interleaved, Al=1
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    idx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                    dc = int(c["zz"][idx][0]) >> 1
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    size = abs(diff).bit_length()
+                    code, length = dc_codes[c["dc_id"]][size]
+                    writer.write(code, length)
+                    if size:
+                        writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    writer.flush()
+    out += sos(comps, 0, 0, 0, 1, bytes(writer.buf))
+
+    # scans 2..: per-component AC bands (first pass at Al=1), walking the
+    # component's OWN grid — padded blocks beyond nbx/nby carry no AC
+    def comp_block_indices(c):
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                yield by * c["bw"] + bx
+
+    for ss, se in ((1, 5), (6, 63)):
+        for c in comps:
+            writer = _BitWriter()
+            state = _ProgACState()
+            for idx in comp_block_indices(c):
+                band = [int(v) for v in c["zz"][idx][ss : se + 1]]
+                _encode_ac_first(writer, ac_codes, band, 1, state)
+            _flush_eobrun(writer, ac_codes, state)
+            writer.flush()
+            out += sos([c], ss, se, 0, 1, bytes(writer.buf))
+
+    # AC refinement to full precision (Ah=1 -> Al=0)
+    for c in comps:
+        writer = _BitWriter()
+        state = _ProgACState()
+        for idx in comp_block_indices(c):
+            band = [int(v) for v in c["zz"][idx][1:64]]
+            _encode_ac_refine(writer, ac_codes, band, 0, state)
+        _flush_eobrun(writer, ac_codes, state)
+        writer.flush()
+        out += sos([c], 1, 63, 1, 0, bytes(writer.buf))
+
+    # DC refinement, interleaved (raw bits, no Huffman)
+    writer = _BitWriter()
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    idx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                    writer.write(int(c["zz"][idx][0]) & 1, 1)
+    writer.flush()
+    out += sos(comps, 0, 0, 1, 0, bytes(writer.buf))
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

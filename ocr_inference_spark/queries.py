@@ -783,12 +783,54 @@ def q30_ocr_extract_spans(spark, sf_dir):
 
 
 def q31_ocr_line_metrics(spark, sf_dir):
-    """Per-page OCR lineage metrics (rows-only)."""
+    """Per-page OCR lineage metrics, ORACLE-BACKED: the synth corpus
+    derives each page's line texts from the documents table by a
+    SQL-expressible rule (synth.page_lines_for: charset-clean, 28-char
+    windows, 'line i' fallback), and the OCR kernel decodes pages
+    exactly (the span-equality invariant), so DuckDB can compute
+    lines_detected/chars/status straight from the source text while
+    Spark must render + OCR the pages to match. Kernel ESTIMATES
+    (rotation angle, dewarp flag) stay out of the projection — they are
+    pinned by tests/test_pipeline_e2e.py instead."""
     from .pipeline import page_metrics, recognize_pages
     from .synth import synth_corpus
 
     docs, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
-    return page_metrics(recognize_pages(spark, docs, pages))
+    return page_metrics(recognize_pages(spark, docs, pages)).select(
+        "doc_id",
+        "media_ref",
+        F.col("lines_detected").cast("long").alias("lines_detected"),
+        F.col("chars").cast("long").alias("chars"),
+        "status",
+    )
+
+
+def _q31_oracle() -> str:
+    # the renderer's line-derivation constants, interpolated so the SQL
+    # stays in lockstep with synth.page_lines_for
+    from .glyphs import CHARSET
+    from .synth import page_lines_for  # noqa: F401 (provenance)
+
+    width = 28
+    cls = CHARSET.replace("-", "\\-").replace("'", "''")
+
+    def seg(i: int) -> str:
+        s = f"trim(substring(cleaned, {i * width + 1}, {width}))"
+        return f"CASE WHEN {s} = '' THEN {len(f'line {i}')} ELSE length({s}) END"
+
+    return f"""
+WITH src AS (
+  SELECT doc_id AS src_id,
+    lower(regexp_replace(lower(text), '[^{cls}]', ' ', 'g')) AS cleaned
+  FROM documents WHERE doc_id < 48
+)
+SELECT printf('doc_%08d', src_id) AS doc_id,
+  printf('page_%08d_%02d', src_id, 0) AS media_ref,
+  CAST(3 AS BIGINT) AS lines_detected,
+  CAST({seg(0)} + {seg(1)} + {seg(2)} AS BIGINT) AS chars,
+  'success' AS status
+FROM src
+"""
 
 
 def q32_cer(spark, sf_dir):
@@ -987,22 +1029,51 @@ SELECT doc_id, quality FROM (
 
 
 def q34_detect_lines(spark, sf_dir):
-    """EP3 detection-only path over synthesized pages (rows-only)."""
+    """EP3 detection-only path, ORACLE-BACKED (the q38 recipe): pages
+    rendered from the md5-derived layout spec have a KNOWN line count
+    and — with no skew/warp — closed-form pixel dimensions, so DuckDB
+    computes expected num_contours / image_width / image_height straight
+    from the spec while Spark must render, decode, binarize, segment,
+    and size-filter to match. Contour/bbox geometry (kernel-derived)
+    stays pinned by tests/test_page.py and the 10k-page sweep."""
+    from .layout import layout_spec, render_layout_pages
     from .pipeline import detect_lines
-    from .synth import synth_corpus
 
-    _, pages, _ = synth_corpus(spark, sf_dir, n_docs=48)
-    det = detect_lines(spark, pages)
-    return det.select(
-        "image_name",
-        "image_width",
-        "image_height",
-        "num_contours",
-        F.aggregate(
-            "contours", F.lit(0), lambda acc, c: acc + F.size(c)
-        ).alias("n_contour_points"),
-        "status",
+    docs = _t(spark, sf_dir, "documents")
+    pages = render_layout_pages(spark, layout_spec(docs, n_docs=48))
+    return detect_lines(spark, pages).select(
+        "image_name", "image_width", "image_height", "num_contours", "status"
     )
+
+
+def _q34_oracle() -> str:
+    # closed-form page geometry from the renderer's own constants: the
+    # SQL must stay in lockstep with render.render_page (margin=48,
+    # spacing=56, CAPTION_GAP) + the spec line pool's glyph widths
+    from .glyphs import BAND_H, encode_text, line_pixel_width
+    from .layout import _SPEC_LINE_POOL
+    from .render import CAPTION_GAP
+
+    margin, spacing = 48, 56
+    pool_w = [line_pixel_width(len(encode_text(t))) for t in _SPEC_LINE_POOL]
+    width_for = [max(pool_w[:n]) + 2 * margin for n in (1, 2, 3)]
+    cap_extra = CAPTION_GAP + BAND_H
+    return f"""
+WITH spec AS (
+  SELECT CAST(doc_id AS VARCHAR) AS image_name,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_lines,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS caption
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48)
+)
+SELECT image_name,
+  CAST(CASE n_lines WHEN 1 THEN {width_for[0]} WHEN 2 THEN {width_for[1]}
+       ELSE {width_for[2]} END AS INTEGER) AS image_width,
+  CAST({2 * margin} + n_lines * {BAND_H} + (n_lines - 1) * {spacing}
+       + CASE WHEN caption THEN {cap_extra} ELSE 0 END AS INTEGER) AS image_height,
+  CAST(n_lines AS INTEGER) AS num_contours,
+  'success' AS status
+FROM spec
+"""
 
 
 QUERIES = {
@@ -1077,12 +1148,14 @@ ORACLES = {
     "q26_simhash_pairs": ORACLE_Q26,
     "q27_ann_cosine_topk": ORACLE_Q27,
     "q29_tumbling_window": ORACLE_Q29,
+    "q31_ocr_line_metrics": _q31_oracle(),
     "q32_cer": ORACLE_Q32,
     "q33_encoding_roundtrip": ORACLE_Q33,
+    "q34_detect_lines": _q34_oracle(),
     "q35_embedding_near_dup": ORACLE_Q35,
     "q37_dup_clusters": ORACLE_Q37,
     "q38_layout_regions": ORACLE_Q38,
     "q39_training_selection": ORACLE_Q39,
-    # q28/q30/q31/q34/q36/q40: intentionally no oracle (engine-specific
-    # hashes / non-SQL-expressible kernels) — rows-only checks.
+    # q28/q30/q36/q40: intentionally no oracle (approximate-by-design
+    # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -8,7 +8,7 @@ import pytest
 
 from ocr_inference_spark.fixtures import build_corpus, corpus_to_spark
 from ocr_inference_spark.imgcodec import png_decode, tiff_encode
-from ocr_inference_spark.jpegcodec import jpeg_encode
+from ocr_inference_spark.jpegcodec import jpeg_encode, jpeg_encode_progressive
 from ocr_inference_spark.pipeline import extract_spans
 
 
@@ -19,23 +19,26 @@ def _tuples(spans):
 @pytest.fixture(scope="module")
 def mixed_format_corpus(spark):
     documents, pages, expected = build_corpus(n_docs=6, seed=11)
-    # round-robin re-encode: PNG originals -> JPEG / uncompressed TIFF /
-    # LZW+predictor TIFF / Deflate TIFF / PNG (the compressed TIFFs are
-    # what real scan archives actually ship)
+    # round-robin re-encode: PNG originals -> JPEG / progressive JPEG /
+    # uncompressed TIFF / LZW+predictor TIFF / Deflate TIFF / PNG (the
+    # compressed TIFFs and progressive JPEGs are what real scan archives
+    # actually ship)
     for i, page in enumerate(pages):
         img = png_decode(page["content"])
-        if i % 5 == 0:
+        if i % 6 == 0:
             page["content"] = jpeg_encode(img, quality=95)
-        elif i % 5 == 1:
+        elif i % 6 == 1:
+            page["content"] = jpeg_encode_progressive(img, quality=95)
+        elif i % 6 == 2:
             page["content"] = tiff_encode(img)
-        elif i % 5 == 2:
+        elif i % 6 == 3:
             page["content"] = tiff_encode(
                 img, compression="lzw", predictor=2, rows_per_strip=64
             )
-        elif i % 5 == 3:
+        elif i % 6 == 4:
             page["content"] = tiff_encode(img, compression="deflate", predictor=2)
-    formats = {i % 5 for i in range(len(pages))}
-    assert formats == {0, 1, 2, 3, 4}, "fixture must exercise all five formats"
+    formats = {i % 6 for i in range(len(pages))}
+    assert formats == {0, 1, 2, 3, 4, 5}, "fixture must exercise all six formats"
     docs_df, pages_df = corpus_to_spark(spark, documents, pages)
     return docs_df, pages_df, expected
 

@@ -77,13 +77,103 @@ def test_jpeg_flat_image_exact():
     assert int(np.abs(out.astype(int) - 180).max()) <= 1
 
 
-def test_jpeg_rejects_progressive_marker():
+def test_jpeg_rejects_unsupported_process_markers():
+    """Lossless (SOF3) and arithmetic-coded (SOF9) processes raise a
+    clear error; a baseline stream whose SOF is flipped to SOF2 is
+    caught by progressive scan-header validation (its full-band scan is
+    illegal for a progressive DC scan)."""
     img = _test_image_gray(16, 16)
+    for bad in (0xC3, 0xC9):
+        data = bytearray(jpeg_encode(img, quality=90))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = bad
+        with pytest.raises(ValueError, match="process"):
+            jpeg_decode(bytes(data))
     data = bytearray(jpeg_encode(img, quality=90))
-    sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(ValueError, match="baseline"):
+    data[data.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(data))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2, spectral selection + successive approximation)
+    carries the SAME quantized coefficients as baseline — decode must be
+    bit-identical to the baseline decode, for gray / 4:4:4 / 4:2:0 and
+    non-multiple-of-8 shapes."""
+    from ocr_inference_spark.jpegcodec import jpeg_encode_progressive
+
+    cases = [
+        (_test_image_gray(), "444"),
+        (_test_image_gray(37, 53), "444"),
+        (_test_image_rgb(), "444"),
+        (_test_image_rgb(50, 66), "420"),
+    ]
+    for img, sub in cases:
+        base = jpeg_decode(jpeg_encode(img, quality=90, subsampling=sub))
+        data = jpeg_encode_progressive(img, quality=90, subsampling=sub)
+        assert b"\xff\xc2" in data  # really SOF2
+        assert np.array_equal(jpeg_decode(data), base), (img.shape, sub)
+
+
+def test_jpeg_progressive_java_imageio_fixtures():
+    """Real-world progressive streams: fixtures written by Java
+    ImageIO's JPEG encoder (independent libjpeg-convention scan
+    scripts); expected pixels are Java's own decode. Differences beyond
+    IDCT/upsampling rounding mean the scan machinery is wrong."""
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    for name, shape, tol in [
+        ("java_prog_gray_64x48", (48, 64), 1),
+        ("java_prog_rgb_64x48", (48, 64, 3), 3),
+    ]:
+        with open(os.path.join(here, name + ".jpg"), "rb") as f:
+            data = f.read()
+        assert b"\xff\xc2" in data
+        mine = jpeg_decode(data)
+        with open(os.path.join(here, name + ".expected.bin"), "rb") as f:
+            exp = np.frombuffer(f.read(), dtype=np.uint8).reshape(shape)
+        assert mine.shape == exp.shape
+        assert int(np.abs(mine.astype(int) - exp.astype(int)).max()) <= tol
+
+
+def test_jpeg_noninterleaved_baseline_matches_interleaved():
+    """One-SOS-per-component baseline (T.81 A.2.2: single-component
+    scans walk ceil(w_c/8) x ceil(h_c/8), sampling factors ignored)
+    decodes identically to the interleaved layout, with and without
+    restart markers."""
+    for img, sub in [
+        (_test_image_rgb(), "444"),
+        (_test_image_rgb(37, 53), "444"),
+        (_test_image_rgb(50, 66), "420"),
+    ]:
+        inter = jpeg_decode(jpeg_encode(img, quality=90, subsampling=sub))
+        ni = jpeg_decode(
+            jpeg_encode(img, quality=90, subsampling=sub, interleaved=False)
+        )
+        assert np.array_equal(inter, ni), (img.shape, sub)
+    img = _test_image_rgb(48, 80)
+    a = jpeg_decode(jpeg_encode(img, quality=95, interleaved=False))
+    b = jpeg_decode(
+        jpeg_encode(img, quality=95, interleaved=False, restart_interval=5)
+    )
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("cut", [0.2, 0.5, 0.8])
+def test_jpeg_progressive_truncated_terminates(cut):
+    """A truncated progressive stream (fewer refinement scans) must
+    terminate — either a clear error or a coarser image of the declared
+    shape (that is the point of progressive encoding)."""
+    from ocr_inference_spark.jpegcodec import jpeg_encode_progressive
+
+    img = _test_image_gray(40, 56)
+    data = jpeg_encode_progressive(img, quality=90)
+    try:
+        out = jpeg_decode(data[: int(len(data) * cut)])
+        assert out.shape == img.shape and out.dtype == np.uint8
+    except Exception:
+        pass
 
 
 def test_jpeg_rejects_garbage():
