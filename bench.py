@@ -54,6 +54,18 @@ def _sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total ticks, steal ticks) from /proc/stat — same probe as
+    scripts/bench_scaling.py, so BENCH_rN.json is self-certifying: a
+    co-tenant phase shows up as steal%% stamped on the exact run it
+    polluted instead of masquerading as a code regression (the
+    round-3 lesson, BENCH/NOTES_r3.md)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    return sum(vals), vals[7]
+
+
 def main() -> None:
     from ocr_inference_spark.queries import QUERIES
     from ocr_inference_spark.session import get_spark
@@ -86,12 +98,20 @@ def main() -> None:
     n_docs = pages.count()
     docs = docs.cache()
     docs.count()
-    ocr_sec = None
-    for _ in range(2):
+    ocr_runs = []
+    for _ in range(4):  # best-of-4 with per-run steal stamps
+        t_b, s_b = _cpu_stat()
         t0 = time.perf_counter()
         _sink(extract_spans(spark, docs, pages, strategy="broadcast"))
         dt = round(time.perf_counter() - t0, 3)
-        ocr_sec = dt if ocr_sec is None else min(ocr_sec, dt)
+        t_a, s_a = _cpu_stat()
+        ocr_runs.append(
+            {
+                "sec": dt,
+                "steal_pct": round(100.0 * (s_a - s_b) / max(t_a - t_b, 1), 1),
+            }
+        )
+    ocr_sec = min(r["sec"] for r in ocr_runs)
     timings["ocr_extract_spans"] = ocr_sec
     pages.unpersist()
     docs.unpersist()
@@ -108,6 +128,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ocr_docs": n_docs,
                 "ocr_docs_per_sec": round(n_docs / ocr_sec, 2) if ocr_sec else None,
+                "ocr_runs": ocr_runs,
                 "cpus": int(CPUS),
             }
         )

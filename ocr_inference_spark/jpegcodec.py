@@ -575,6 +575,9 @@ def _decode_ac_refine(reader, st, block, ss, se, al, eobrun):
     m1 = -1 << al
     ac_tbl = st["ac"]
     k = ss
+    # per-coefficient walk: Python ints are ~5x faster than numpy
+    # scalar indexing here; write back once at the end
+    blk = block.tolist()
     if eobrun == 0:
         while k <= se:
             look = reader.peek16()
@@ -596,24 +599,27 @@ def _decode_ac_refine(reader, st, block, ss, se, al, eobrun):
             else:
                 val = p1 if reader.read(1) else m1
             while k <= se:
-                if block[k] != 0:
-                    if reader.read(1) and (block[k] & p1) == 0:
-                        block[k] += p1 if block[k] >= 0 else m1
+                c = blk[k]
+                if c != 0:
+                    if reader.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if val != 0 and k <= se:
-                block[k] = val
+                blk[k] = val
             k += 1
     if eobrun > 0:
         while k <= se:
-            if block[k] != 0:
-                if reader.read(1) and (block[k] & p1) == 0:
-                    block[k] += p1 if block[k] >= 0 else m1
+            c = blk[k]
+            if c != 0:
+                if reader.read(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
             k += 1
         eobrun -= 1
+    block[:] = blk
     return eobrun
 
 
