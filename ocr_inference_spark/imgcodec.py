@@ -7,15 +7,19 @@ column and decodes them *inside* the Arrow batch, so the executor never
 touches a filesystem. The container has no OpenCV/Pillow, so we
 implement the slices we need ourselves:
 
-- PNG (this module): 8-bit grayscale or RGB, zlib-compressed, filter
-  type 0 on every row (what our encoder writes) plus filters 1/2 on
-  decode for robustness.
+- PNG (this module): full baseline decode of real-world files — all
+  five row filters (None/Sub/Up/Average/Paeth), bit depths 1/2/4/8/16,
+  gray / RGB / palette / alpha variants, Adam7 interlacing — validated
+  against Java ImageIO in both directions (fixtures
+  tests/data/java_png_*.png). Encoder writes 8-bit gray/RGB with
+  filter 0 (fast default) or forced/adaptive filtering.
 - JPEG (:mod:`.jpegcodec`): baseline sequential DCT per ITU-T T.81.
 - TIFF (this module): 8-bit grayscale/RGB, both byte orders, strip
   layout; compression none / LZW (TIFF 6.0 §13, early-change widths,
   cross-validated against Java ImageIO's independent implementation —
-  tests/data/java_lzw_*.tif) / Deflate (zlib), with the horizontal-
-  differencing predictor — the layouts real scan archives ship.
+  tests/data/java_lzw_*.tif) / Deflate (zlib) / PackBits (§9), with
+  the horizontal-differencing predictor — the layouts real scan
+  archives ship.
 - :func:`decode_image` sniffs the container magic and dispatches — the
   page kernel's single entry point for any supported scan format.
 
@@ -43,8 +47,53 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray, compress_level: int = 6) -> bytes:
-    """Encode a (H,W) grayscale or (H,W,3) RGB uint8 array as PNG bytes."""
+def _png_filter_rows(flat: np.ndarray, bpp: int, mode) -> np.ndarray:
+    """Apply PNG row filters for encoding. ``mode``: an int 0-4 forces
+    that filter on every row; 'adaptive' picks per row by the libpng
+    minimum-sum-of-absolute-differences heuristic. Returns the
+    (h, 1+stride) filtered buffer. Encoding only needs ORIGINAL
+    neighbours, so every candidate is fully vectorized."""
+    h, stride = flat.shape
+    s16 = flat.astype(np.int16)
+    left = np.zeros_like(s16)
+    left[:, bpp:] = s16[:, :-bpp]
+    up = np.zeros_like(s16)
+    up[1:] = s16[:-1]
+    upleft = np.zeros_like(s16)
+    upleft[1:, bpp:] = s16[:-1, :-bpp]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+    candidates = np.stack(
+        [
+            s16,  # 0: None (raw row)
+            s16 - left,  # 1: Sub
+            s16 - up,  # 2: Up
+            s16 - ((left + up) >> 1),  # 3: Average
+            s16 - paeth,  # 4: Paeth
+        ]
+    ).astype(np.uint8)
+    if mode == "adaptive":
+        # libpng heuristic: minimize sum of |signed residual| per row
+        cost = np.abs(candidates.astype(np.int8).astype(np.int16)).sum(axis=2)
+        pick = cost.argmin(axis=0)
+    else:
+        pick = np.full(h, int(mode), dtype=np.int64)
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    out[:, 0] = pick
+    out[:, 1:] = candidates[pick, np.arange(h)]
+    return out
+
+
+def png_encode(
+    img: np.ndarray, compress_level: int = 6, filter_mode=0
+) -> bytes:
+    """Encode a (H,W) grayscale or (H,W,3) RGB uint8 array as PNG bytes.
+
+    ``filter_mode``: an int 0-4 forces that row filter (0 = the fast
+    default), or 'adaptive' for per-row selection (libpng's heuristic
+    — smaller files on photographic content). Filter encoding is
+    cross-validated against Java ImageIO's PNG reader."""
     if img.dtype != np.uint8:
         raise ValueError(f"png_encode expects uint8, got {img.dtype}")
     if img.ndim == 2:
@@ -56,25 +105,105 @@ def png_encode(img: np.ndarray, compress_level: int = 6) -> bytes:
     h, w = img.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     flat = img.reshape(h, w * channels)
-    # filter byte 0 prepended to every scanline
-    raw = np.empty((h, w * channels + 1), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = flat
+    if filter_mode == 0:
+        # filter byte 0 prepended to every scanline
+        raw = np.empty((h, w * channels + 1), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = flat
+    else:
+        raw = _png_filter_rows(flat, channels, filter_mode)
     idat = zlib.compress(raw.tobytes(), compress_level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode PNG bytes -> (H,W) or (H,W,3) uint8 array.
+# samples per pixel by PNG color type: gray, rgb, palette-index,
+# gray+alpha, rgba
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    Supports 8-bit grayscale/RGB with row filters 0 (None), 1 (Sub),
-    2 (Up). Raises on anything else.
-    """
+# Adam7 interlace passes: (x offset, y offset, x step, y step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters (spec §9: None/Sub/Up/Average/Paeth) over a
+    (height, 1+stride) filtered buffer; returns (height, stride) uint8.
+    ``bpp`` is the filter unit — bytes per pixel, min 1."""
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    if np.all(filters == 0):
+        return raw[:, 1:].copy()
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = filters[y]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = line.astype(np.uint8)
+        elif f == 1:  # Sub
+            acc = line
+            for x in range(bpp, stride):
+                acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        elif f == 2:  # Up
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            acc = line
+            for x in range(stride):
+                left = acc[x - bpp] if x >= bpp else 0
+                acc[x] = (acc[x] + ((left + prev[x]) >> 1)) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        elif f == 4:  # Paeth
+            acc = line
+            for x in range(stride):
+                a = acc[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                acc[x] = (acc[x] + pred) & 0xFF
+            out[y] = acc.astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported row filter {f}")
+    return out
+
+
+def _png_expand_row_bytes(
+    rows: np.ndarray, width: int, bit_depth: int, spp: int
+) -> np.ndarray:
+    """(h, stride) filtered-out bytes -> (h, width, spp) samples scaled
+    to 8 bits (16-bit takes the high byte, like cv2's default read)."""
+    h = rows.shape[0]
+    if bit_depth == 8:
+        return rows.reshape(h, -1)[:, : width * spp].reshape(h, width, spp)
+    if bit_depth == 16:
+        return rows.reshape(h, -1, 2)[:, : width * spp, 0].reshape(h, width, spp)
+    # 1/2/4-bit (gray or palette indices): unpack MSB-first
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, bit_depth)
+    weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+    packed = (vals * weights).sum(axis=2).astype(np.uint8)
+    return packed[:, :width].reshape(h, width, 1)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode PNG bytes -> (H,W) grayscale or (H,W,3) RGB uint8.
+
+    Full baseline coverage of real-world files: all five row filters
+    (None/Sub/Up/Average/Paeth), bit depths 1/2/4/8/16, color types
+    gray / RGB / palette (PLTE) / gray+alpha / RGBA (alpha stripped,
+    matching cv2.imread's default), and Adam7 interlacing. Filter
+    conventions cross-validated against Java ImageIO's encoder
+    (tests/data/java_png_*.png)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     width = height = None
-    color_type = None
+    bit_depth = color_type = interlace = None
+    palette = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -85,44 +214,60 @@ def png_decode(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG variant")
-            if color_type not in (0, 2):
+            if color_type not in _PNG_SAMPLES:
                 raise ValueError(f"unsupported color type {color_type}")
+            if color_type == 3 and bit_depth not in (1, 2, 4, 8):
+                raise ValueError(f"bad palette bit depth {bit_depth}")
+            if color_type in (2, 4, 6) and bit_depth not in (8, 16):
+                raise ValueError(f"bad bit depth {bit_depth} for type {color_type}")
+            if color_type == 0 and bit_depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"bad gray bit depth {bit_depth}")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
-    channels = 1 if color_type == 0 else 3
-    stride = width * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(height, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:].astype(np.int16)
-    if np.all(filters == 0):
-        out = rows.astype(np.uint8)
-    else:
-        out = np.zeros((height, stride), dtype=np.uint8)
-        for y in range(height):
-            f = filters[y]
-            line = rows[y]
-            if f == 0:
-                out[y] = line.astype(np.uint8)
-            elif f == 1:  # Sub: left neighbour (per channel)
-                acc = line.copy()
-                for x in range(channels, stride):
-                    acc[x] = (acc[x] + acc[x - channels]) & 0xFF
-                out[y] = acc.astype(np.uint8)
-            elif f == 2:  # Up
-                prev = out[y - 1].astype(np.int16) if y else 0
-                out[y] = ((line + prev) & 0xFF).astype(np.uint8)
-            else:
-                raise ValueError(f"unsupported row filter {f}")
-    if channels == 1:
-        return out.reshape(height, width)
-    return out.reshape(height, width, 3)
+    spp = _PNG_SAMPLES[color_type]
+    bpp = max(1, spp * bit_depth // 8)
+    decomp = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+
+    def stride_for(w: int) -> int:
+        return (w * spp * bit_depth + 7) // 8
+
+    if interlace == 0:
+        rows = _png_unfilter(decomp, height, stride_for(width), bpp)
+        samples = _png_expand_row_bytes(rows, width, bit_depth, spp)
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros((height, width, spp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            st = stride_for(pw)
+            size = ph * (st + 1)
+            sub = _png_unfilter(decomp[off : off + size], ph, st, bpp)
+            off += size
+            samples[y0::dy, x0::dx] = _png_expand_row_bytes(sub, pw, bit_depth, spp)
+
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[samples[:, :, 0]]
+    if color_type == 0:
+        g = samples[:, :, 0]
+        if bit_depth < 8:  # scale 1/2/4-bit to full range
+            g = (g.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+        return g
+    if color_type == 4:  # gray + alpha: strip alpha
+        return samples[:, :, 0]
+    return samples[:, :, :3].copy()  # RGB / RGBA (alpha stripped)
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +297,56 @@ _LZW_FIRST = 258
 _LZW_ENC_GROW = {512: 10, 1024: 11, 2048: 12}
 _LZW_DEC_GROW = {511: 10, 1023: 11, 2047: 12}
 _LZW_MAX = 4094
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits (byte-oriented run-length): literal runs as
+    (n-1, bytes...), repeats of >=2 as (1-n mod 256, byte)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out.append((1 - run) & 0xFF)
+            out.append(data[i])
+            i = j
+            continue
+        # literal stretch: until the next >=3 repeat (2-byte repeats are
+        # cheaper folded into the literal) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """Inverse of :func:`packbits_encode` (also reads any conforming
+    PackBits stream; -128 is a noop per spec)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i < n:
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+        # c == 128: noop
+    return bytes(out)
 
 
 def lzw_encode(data: bytes) -> bytes:
@@ -252,7 +447,7 @@ def lzw_decode(data: bytes) -> bytes:
             width = _LZW_DEC_GROW[len(table)]
 
 
-_TIFF_COMPRESSION_CODES = {"none": 1, "lzw": 5, "deflate": 8}
+_TIFF_COMPRESSION_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
 def _hdiff_encode(rows: np.ndarray, spp: int) -> np.ndarray:
@@ -313,6 +508,8 @@ def tiff_encode(
             raw = lzw_encode(raw)
         elif comp == 8:
             raw = zlib.compress(raw, 6)
+        elif comp == 32773:  # PackBits: each row packed separately (§9)
+            raw = b"".join(packbits_encode(r.tobytes()) for r in chunk)
         strips.append(raw)
 
     # layout: header(8) | strip data | IFD | out-of-line values
@@ -405,7 +602,7 @@ def tiff_decode(data: bytes) -> np.ndarray:
     w = fields["width"][0]
     h = fields["height"][0]
     comp = fields.get("compression", [1])[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     bps = fields.get("bits_per_sample", [8])
     if any(b != 8 for b in bps):
@@ -425,6 +622,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
             raw = lzw_decode(raw)
         elif comp in (8, 32946):
             raw = zlib.decompress(raw)
+        elif comp == 32773:
+            raw = packbits_decode(raw)
         chunks.append(raw)
     raw = b"".join(chunks)
     if len(raw) < w * h * spp:

@@ -20,25 +20,32 @@ def _tuples(spans):
 def mixed_format_corpus(spark):
     documents, pages, expected = build_corpus(n_docs=6, seed=11)
     # round-robin re-encode: PNG originals -> JPEG / progressive JPEG /
-    # uncompressed TIFF / LZW+predictor TIFF / Deflate TIFF / PNG (the
-    # compressed TIFFs and progressive JPEGs are what real scan archives
+    # uncompressed TIFF / LZW+predictor TIFF / Deflate TIFF / PackBits
+    # TIFF / adaptive-filter PNG / plain PNG (the compressed TIFFs,
+    # progressive JPEGs, and filtered PNGs are what real scan archives
     # actually ship)
+    from ocr_inference_spark.imgcodec import png_encode
+
     for i, page in enumerate(pages):
         img = png_decode(page["content"])
-        if i % 6 == 0:
+        if i % 8 == 0:
             page["content"] = jpeg_encode(img, quality=95)
-        elif i % 6 == 1:
+        elif i % 8 == 1:
             page["content"] = jpeg_encode_progressive(img, quality=95)
-        elif i % 6 == 2:
+        elif i % 8 == 2:
             page["content"] = tiff_encode(img)
-        elif i % 6 == 3:
+        elif i % 8 == 3:
             page["content"] = tiff_encode(
                 img, compression="lzw", predictor=2, rows_per_strip=64
             )
-        elif i % 6 == 4:
+        elif i % 8 == 4:
             page["content"] = tiff_encode(img, compression="deflate", predictor=2)
-    formats = {i % 6 for i in range(len(pages))}
-    assert formats == {0, 1, 2, 3, 4, 5}, "fixture must exercise all six formats"
+        elif i % 8 == 5:
+            page["content"] = tiff_encode(img, compression="packbits")
+        elif i % 8 == 6:
+            page["content"] = png_encode(img, filter_mode="adaptive")
+    formats = {i % 8 for i in range(len(pages))}
+    assert formats == set(range(8)), "fixture must exercise all eight formats"
     docs_df, pages_df = corpus_to_spark(spark, documents, pages)
     return docs_df, pages_df, expected
 

@@ -280,6 +280,142 @@ def test_tiff_lzw_java_imageio_fixture_interop():
         assert np.array_equal(tiff_decode(f.read()), rgb)
 
 
+def test_png_all_filters_roundtrip_and_adaptive():
+    """Row filters Sub/Up/Average/Paeth (encode forced per filter) all
+    roundtrip exactly; adaptive selection beats filter-0 on noisy
+    content. Filter encoding is cross-validated against Java ImageIO's
+    reader (see imgcodec docstring); this pins the self-consistency."""
+    from ocr_inference_spark.imgcodec import png_decode
+
+    rng = np.random.default_rng(5)
+    gray = np.clip(
+        _test_image_gray(48, 64).astype(int) + rng.integers(-30, 30, (48, 64)),
+        0, 255,
+    ).astype(np.uint8)
+    rgb = np.stack([gray, np.roll(gray, 7, axis=1), 255 - gray], axis=-1)
+    for img in (gray, rgb):
+        for fm in (1, 2, 3, 4, "adaptive"):
+            assert np.array_equal(png_decode(png_encode(img, filter_mode=fm)), img)
+    assert len(png_encode(gray, filter_mode="adaptive")) < len(png_encode(gray))
+
+
+def test_png_java_imageio_fixtures_interlaced_and_palette():
+    """Real-world PNG layouts from an independent writer (Java
+    ImageIO): Adam7 interlacing (expected = the deterministic
+    (3x+5y)%256 pattern the fixture was rendered from) and a palette
+    (PLTE) image (expected = Java's own raster dump)."""
+    import os
+
+    from ocr_inference_spark.imgcodec import png_decode
+
+    here = os.path.join(os.path.dirname(__file__), "data")
+    yy, xx = np.mgrid[0:48, 0:64]
+    pattern = ((3 * xx + 5 * yy) % 256).astype(np.uint8)
+    with open(os.path.join(here, "java_png_gray_adam7.png"), "rb") as f:
+        data = f.read()
+    assert data[28] == 1  # IHDR interlace flag: really Adam7
+    got = png_decode(data)
+    assert got.ndim == 2 and np.array_equal(got, pattern)
+
+    with open(os.path.join(here, "java_png_indexed.png"), "rb") as f:
+        data = f.read()
+    assert b"PLTE" in data[:200]
+    got = png_decode(data)
+    with open(os.path.join(here, "java_png_indexed.truth.bin"), "rb") as f:
+        truth = np.frombuffer(f.read(), dtype=np.uint8).reshape(48, 64, 3)
+    assert np.array_equal(got, truth)
+
+
+def _build_png(width, height, bit_depth, color_type, rows, extra=b""):
+    """Minimal PNG from pre-packed scanline bytes (filter 0)."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_low_bit_depth_and_alpha_variants():
+    """Sub-8-bit grayscale (1/4-bit, scaled to full range), 16-bit
+    (high byte, cv2-style), gray+alpha and RGBA (alpha stripped),
+    and palette indices below 8 bits."""
+    from ocr_inference_spark.imgcodec import png_decode
+
+    # 1-bit gray, 10px wide: bits 1010101010 -> 255/0 alternating
+    rows = [bytes([0b10101010, 0b10000000])] * 3
+    out = png_decode(_build_png(10, 3, 1, 0, rows))
+    assert out.shape == (3, 10)
+    assert out[0].tolist() == [255, 0] * 5
+
+    # 4-bit gray: values 0..15 scaled by 17
+    packed = bytes([0x01, 0x23, 0x45])  # pixels 0,1,2,3,4,5
+    out = png_decode(_build_png(6, 1, 4, 0, [packed]))
+    assert out[0].tolist() == [0, 17, 34, 51, 68, 85]
+
+    # 16-bit gray: high byte wins
+    import struct as _s
+
+    row = b"".join(_s.pack(">H", v) for v in (0x1234, 0xFF00, 0x00FF))
+    out = png_decode(_build_png(3, 1, 16, 0, [row]))
+    assert out[0].tolist() == [0x12, 0xFF, 0x00]
+
+    # gray+alpha (type 4): alpha stripped
+    row = bytes([200, 255, 100, 0])  # two pixels
+    out = png_decode(_build_png(2, 1, 8, 4, [row]))
+    assert out[0].tolist() == [200, 100]
+
+    # RGBA (type 6): alpha stripped
+    row = bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    out = png_decode(_build_png(2, 1, 8, 6, [row]))
+    assert out[0].tolist() == [[1, 2, 3], [4, 5, 6]]
+
+    # 2-bit palette: indices 0..3 -> PLTE colors
+    import zlib as _z
+
+    plte_payload = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    plte = (
+        _s.pack(">I", len(plte_payload)) + b"PLTE" + plte_payload
+        + _s.pack(">I", _z.crc32(b"PLTE" + plte_payload) & 0xFFFFFFFF)
+    )
+    packed = bytes([0b00011011])  # indices 0,1,2,3
+    out = png_decode(_build_png(4, 1, 2, 3, [packed], extra=plte))
+    assert out[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]]
+
+
+def test_tiff_packbits_roundtrip():
+    """PackBits (TIFF 6.0 §9, compression 32773) — bidirectionally
+    validated against Java ImageIO during development; this pins the
+    self-roundtrip incl. multi-strip and the raw codec edge cases."""
+    from ocr_inference_spark.imgcodec import (
+        packbits_decode,
+        packbits_encode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for payload in (b"", b"a", b"aaaaab" * 100, b"\x00" * 1000,
+                    bytes(rng.integers(0, 256, 5000, dtype=np.uint8))):
+        assert packbits_decode(packbits_encode(payload)) == payload
+    assert packbits_decode(b"\x80") == b""  # -128 noop per spec
+    for img in (_test_image_gray(61, 83), _test_image_rgb(37, 59)):
+        data = tiff_encode(img, compression="packbits", rows_per_strip=16)
+        assert np.array_equal(tiff_decode(data), img)
+    # a run-heavy image must actually compress
+    flat = np.full((64, 64), 7, dtype=np.uint8)
+    assert len(tiff_encode(flat, compression="packbits")) < len(tiff_encode(flat))
+
+
 def test_lzw_stream_roundtrip_with_table_reset():
     """Payload large/diverse enough to push the code table past 4093
     entries forces a mid-stream ClearCode reset; roundtrip stays exact.
