@@ -175,9 +175,10 @@ def _canonical_codes(bits, vals):
 class _DecodeTable:
     """16-bit-lookahead LUT: lut[next16] = (symbol, code_length)."""
 
-    __slots__ = ("sym", "length")
+    __slots__ = ("sym", "length", "key")
 
     def __init__(self, bits, vals):
+        self.key = bytes(bits) + bytes(vals)
         self.sym = np.zeros(1 << 16, dtype=np.int32) - 1
         self.length = np.zeros(1 << 16, dtype=np.int32)
         code = 0
@@ -191,6 +192,24 @@ class _DecodeTable:
                 code += 1
                 idx += 1
             code <<= 1
+
+
+# (length << 8 | symbol) packed LUT as a plain Python list — list
+# indexing beats numpy scalar indexing ~3x in the per-symbol hot loop.
+# Cached by table CONTENT: the Annex-K tables recur on every page, so a
+# long-lived executor builds each list once per process.
+_PACKED_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _packed_lut(tbl: _DecodeTable) -> list[int]:
+    lut = _PACKED_LUT_CACHE.get(tbl.key)
+    if lut is None:
+        packed = np.where(tbl.sym >= 0, (tbl.length << 8) | tbl.sym, 0)
+        lut = packed.astype(np.int32).tolist()
+        while len(_PACKED_LUT_CACHE) >= 16:
+            _PACKED_LUT_CACHE.pop(next(iter(_PACKED_LUT_CACHE)))
+        _PACKED_LUT_CACHE[tbl.key] = lut
+    return lut
 
 
 class _BitReader:
@@ -382,25 +401,24 @@ def _entropy_segment(data: bytes, pos: int) -> tuple[bytes, int]:
     non-restart marker; returns (unstuffed bytes, position of the 0xFF
     immediately preceding the marker code). Legal 0xFF fill bytes
     before a marker are consumed (T.81 B.1.1.2), so the caller can
-    always probe the marker code at ``pos + 1``."""
-    buf = bytearray()
-    i = pos
+    always probe the marker code at ``pos + 1``. C-speed: bytes.find
+    scans for the terminating marker, bytes.replace unstuffs."""
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                buf.append(0xFF)
-                i += 2
-                continue
-            if nxt == 0xFF:  # fill byte before a marker
-                i += 1
-                continue
-            return bytes(buf), i  # RSTn or any other marker
-        buf.append(b)
-        i += 1
-    return bytes(buf), n
+    i = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return data[pos:n].replace(b"\xff\x00", b"\xff"), n
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        if nxt == 0xFF:  # fill byte(s) before a marker: skip the chain
+            k = j
+            while k + 1 < n and data[k + 1] == 0xFF:
+                k += 1
+            return data[pos:j].replace(b"\xff\x00", b"\xff"), k
+        return data[pos:j].replace(b"\xff\x00", b"\xff"), j
 
 
 def _decode_sos(data, pos, payload, frame, comp_states, htables, restart_interval):
@@ -443,6 +461,9 @@ def _decode_sos(data, pos, payload, frame, comp_states, htables, restart_interva
         if (not progressive or ss > 0) and st["ac"] is None:
             raise ValueError("scan needs an undefined AC Huffman table")
 
+    if not progressive:
+        return _decode_scan_fast(data, pos, frame, scan, restart_interval, ns)
+
     mcus_x = frame["mcus_x"]
     if ns > 1:
         n_units = mcus_x * frame["mcus_y"]
@@ -478,6 +499,115 @@ def _decode_sos(data, pos, payload, frame, comp_states, htables, restart_interva
                 reader, st, st["coef"][my * st["bw"] + mx], ss, se, ah, al,
                 progressive, eobrun,
             )
+    return next_pos
+
+
+# hot-loop lookup tables: (1<<n)-1 masks, EXTEND threshold/offset per
+# magnitude size (list indexing beats rebuilding the ints per symbol)
+_MASKS = [(1 << i) - 1 for i in range(64)]
+_EXT_HALF = [0] + [1 << (s - 1) for s in range(1, 17)]
+_EXT_SUB = [0] + [1 - (1 << s) for s in range(1, 17)]
+
+
+def _decode_scan_fast(data, pos, frame, scan, restart_interval, ns):
+    """Sequential-mode scan decode, the hot ingest path: bit state in
+    local variables (no per-symbol method calls), packed-list Huffman
+    LUTs (cached per table content), and coefficients accumulated as
+    (block, k, value) triples scattered into the component arrays once
+    per scan — ~2x the generic per-unit path on real pages. Semantics
+    identical to _decode_block_seq (T.81 F.2)."""
+    mcus_x = frame["mcus_x"]
+    if ns > 1:
+        n_units = mcus_x * frame["mcus_y"]
+    else:
+        n_units = scan[0]["nbx"] * scan[0]["nby"]
+    plans = []
+    for st in scan:
+        plans.append((st, _packed_lut(st["dc"]), _packed_lut(st["ac"]), [], [], []))
+    seg, next_pos = _entropy_segment(data, pos)
+    buf = seg
+    nlen = len(buf)
+    acc = 0
+    nbits = 0
+    p = 0
+    preds = [0] * len(scan)
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            if next_pos + 1 < len(data) and 0xD0 <= data[next_pos + 1] <= 0xD7:
+                seg, next_pos = _entropy_segment(data, next_pos + 2)
+                buf = seg
+                nlen = len(buf)
+                acc = 0
+                nbits = 0
+                p = 0
+                preds = [0] * len(scan)
+        for ci, (st, dc_lut, ac_lut, idxs, ks, vs) in enumerate(plans):
+            if ns > 1:
+                my, mx = divmod(unit, mcus_x)
+                ch, cv = st["h"], st["v"]
+                bw = st["bw"]
+                block_ids = [
+                    (my * cv + by) * bw + (mx * ch + bx)
+                    for by in range(cv)
+                    for bx in range(ch)
+                ]
+            else:
+                my, mx = divmod(unit, st["nbx"])
+                block_ids = [my * st["bw"] + mx]
+            for bid in block_ids:
+                while nbits < 32:
+                    acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                    p += 1
+                    nbits += 8
+                e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid DC Huffman code")
+                size = e & 0xFF
+                nbits -= e >> 8
+                if size:
+                    v = (acc >> (nbits - size)) & _MASKS[size]
+                    nbits -= size
+                    if v < _EXT_HALF[size]:
+                        v += _EXT_SUB[size]
+                    preds[ci] += v
+                if preds[ci]:
+                    idxs.append(bid)
+                    ks.append(0)
+                    vs.append(preds[ci])
+                acc &= _MASKS[nbits]
+                k = 1
+                while k < 64:
+                    while nbits < 32:
+                        acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                        p += 1
+                        nbits += 8
+                    e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid AC Huffman code")
+                    nbits -= e >> 8
+                    s = e & 0x0F
+                    if s == 0:
+                        acc &= _MASKS[nbits]
+                        if (e & 0xF0) == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += (e >> 4) & 0x0F
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    v = (acc >> (nbits - s)) & _MASKS[s]
+                    nbits -= s
+                    acc &= _MASKS[nbits]
+                    if v < _EXT_HALF[s]:
+                        v += _EXT_SUB[s]
+                    idxs.append(bid)
+                    ks.append(k)
+                    vs.append(v)
+                    k += 1
+    for st, _dc, _ac, idxs, ks, vs in plans:
+        if idxs:
+            st["coef"][np.array(idxs), np.array(ks)] = np.array(vs, dtype=np.int32)
+        st["pred"] = 0
     return next_pos
 
 
