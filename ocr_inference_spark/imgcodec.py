@@ -18,8 +18,10 @@ implement the slices we need ourselves:
   layout; compression none / LZW (TIFF 6.0 §13, early-change widths,
   cross-validated against Java ImageIO's independent implementation —
   tests/data/java_lzw_*.tif) / Deflate (zlib) / PackBits (§9), with
-  the horizontal-differencing predictor — the layouts real scan
-  archives ship.
+  the horizontal-differencing predictor; plus bilevel 1-bit layouts —
+  uncompressed, CCITT RLE (T.4 1-D) and Group 4 (T.6 2-D MMR via
+  :mod:`.faxcodec`) — the classic book-scan archive formats, all
+  validated against Java ImageIO in both directions.
 - :func:`decode_image` sniffs the container magic and dispatches — the
   page kernel's single entry point for any supported scan format.
 
@@ -278,9 +280,9 @@ def png_decode(data: bytes) -> np.ndarray:
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample",
-    259: "compression", 262: "photometric", 273: "strip_offsets",
-    277: "samples_per_pixel", 278: "rows_per_strip", 279: "strip_byte_counts",
-    317: "predictor",
+    259: "compression", 262: "photometric", 266: "fill_order",
+    273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
+    279: "strip_byte_counts", 317: "predictor",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
@@ -448,6 +450,8 @@ def lzw_decode(data: bytes) -> bytes:
 
 
 _TIFF_COMPRESSION_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+# bilevel-only compressions (1 bit/sample, photometric WhiteIsZero):
+_TIFF_FAX_CODES = {"ccitt-rle": 2, "g4": 4}
 
 
 def _hdiff_encode(rows: np.ndarray, spp: int) -> np.ndarray:
@@ -476,41 +480,60 @@ def tiff_encode(
     """Encode (H,W) gray or (H,W,3) RGB uint8 as little-endian TIFF.
 
     ``compression``: 'none' | 'lzw' (tag 5, spec §13) | 'deflate'
-    (tag 8, zlib). ``predictor`` 2 applies horizontal differencing
-    before compression (what real LZW scan archives use — differenced
-    scanlines compress far better). ``rows_per_strip`` splits the image
-    into multiple strips (default: one strip)."""
+    (tag 8, zlib) | 'packbits' (§9) | the bilevel fax layouts
+    'ccitt-rle' (tag 2, T.4 1-D per byte-aligned row) and 'g4' (tag 4,
+    T.6 2-D) — grayscale input is thresholded at 128, written 1
+    bit/sample WhiteIsZero, the classic book-scan archive format.
+    ``predictor`` 2 applies horizontal differencing before LZW/Deflate
+    (what real LZW scan archives use — differenced scanlines compress
+    far better). ``rows_per_strip`` splits the image into multiple
+    strips (default: one strip)."""
     if img.dtype != np.uint8:
         raise ValueError(f"tiff_encode expects uint8, got {img.dtype}")
-    if img.ndim == 2:
-        spp, photometric = 1, 1  # BlackIsZero
-    elif img.ndim == 3 and img.shape[2] == 3:
-        spp, photometric = 3, 2  # RGB
-    else:
-        raise ValueError(f"unsupported shape {img.shape}")
-    comp = _TIFF_COMPRESSION_CODES.get(compression)
-    if comp is None:
-        raise ValueError(f"unsupported compression {compression!r}")
-    if predictor not in (1, 2):
-        raise ValueError(f"unsupported predictor {predictor}")
-    if predictor == 2 and comp == 1:
-        raise ValueError("predictor 2 requires a compressed layout")
     h, w = img.shape[:2]
     rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
-    rows = img.reshape(h, w * spp)
-    strips: list[bytes] = []
-    for y0 in range(0, h, rps):
-        chunk = rows[y0 : y0 + rps]
-        if predictor == 2:
-            chunk = _hdiff_encode(chunk, spp)
-        raw = chunk.tobytes()
-        if comp == 5:
-            raw = lzw_encode(raw)
-        elif comp == 8:
-            raw = zlib.compress(raw, 6)
-        elif comp == 32773:  # PackBits: each row packed separately (§9)
-            raw = b"".join(packbits_encode(r.tobytes()) for r in chunk)
-        strips.append(raw)
+    fax = _TIFF_FAX_CODES.get(compression)
+    if fax is not None:
+        if img.ndim != 2:
+            raise ValueError("fax compressions are bilevel: grayscale input only")
+        from .faxcodec import g4_encode, mh_encode
+
+        bits = (img >= 128).astype(np.uint8)  # 1 = white
+        strips = [
+            (mh_encode if fax == 2 else g4_encode)(bits[y0 : y0 + rps])
+            for y0 in range(0, h, rps)
+        ]
+        comp, spp, photometric, bit_depth = fax, 1, 0, 1  # WhiteIsZero
+        predictor = 1
+    else:
+        if img.ndim == 2:
+            spp, photometric = 1, 1  # BlackIsZero
+        elif img.ndim == 3 and img.shape[2] == 3:
+            spp, photometric = 3, 2  # RGB
+        else:
+            raise ValueError(f"unsupported shape {img.shape}")
+        comp = _TIFF_COMPRESSION_CODES.get(compression)
+        if comp is None:
+            raise ValueError(f"unsupported compression {compression!r}")
+        if predictor not in (1, 2):
+            raise ValueError(f"unsupported predictor {predictor}")
+        if predictor == 2 and comp == 1:
+            raise ValueError("predictor 2 requires a compressed layout")
+        bit_depth = 8
+        rows = img.reshape(h, w * spp)
+        strips = []
+        for y0 in range(0, h, rps):
+            chunk = rows[y0 : y0 + rps]
+            if predictor == 2:
+                chunk = _hdiff_encode(chunk, spp)
+            raw = chunk.tobytes()
+            if comp == 5:
+                raw = lzw_encode(raw)
+            elif comp == 8:
+                raw = zlib.compress(raw, 6)
+            elif comp == 32773:  # PackBits: each row packed separately (§9)
+                raw = b"".join(packbits_encode(r.tobytes()) for r in chunk)
+            strips.append(raw)
 
     # layout: header(8) | strip data | IFD | out-of-line values
     data_off = 8
@@ -542,7 +565,7 @@ def tiff_encode(
         return long_val(off_here)
 
     tail_base = ifd_off + 2 + n_entries * 12 + 4
-    bps_value = short_val(8)
+    bps_value = short_val(bit_depth)
     if spp == 3:
         bps_value = tail_alloc(struct.pack("<HHH", 8, 8, 8))
     if len(strips) == 1:
@@ -570,10 +593,52 @@ def tiff_encode(
     return header + b"".join(strips) + ifd + tail
 
 
+def _tiff_decode_bilevel(data: bytes, fields, w: int, h: int, comp: int) -> np.ndarray:
+    """1-bit/sample TIFF strip decode -> (h, w) uint8 {0, 255} gray.
+    Compression: none (row-packed bits), CCITT RLE (2, T.4 1-D) and
+    Group 4 (4, T.6) — the classic bilevel book-scan layouts. Fax
+    reference lines reset per strip, the standard TIFF convention."""
+    photometric = fields.get("photometric", [0])[0]
+    if fields.get("fill_order", [1])[0] != 1:
+        raise ValueError("unsupported TIFF fill order")
+    rps = fields.get("rows_per_strip", [h])[0]
+    offsets = fields["strip_offsets"]
+    counts = fields.get("strip_byte_counts", [len(data) - offsets[0]])
+    if comp in (2, 4):
+        from .faxcodec import g4_decode, mh_decode
+
+        parts = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            n_rows = min(rps, h - si * rps)
+            strip = data[o : o + c]
+            parts.append(
+                mh_decode(strip, w, n_rows)
+                if comp == 2
+                else g4_decode(strip, w, n_rows)
+            )
+        white = np.concatenate(parts)  # 1 = white, independent of photometric
+        return np.where(white == 1, 255, 0).astype(np.uint8)
+    if comp == 1:
+        stride = (w + 7) // 8
+        raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+        if len(raw) < h * stride:
+            raise ValueError("bilevel TIFF strip data too short")
+        bits = np.unpackbits(
+            np.frombuffer(raw[: h * stride], dtype=np.uint8).reshape(h, stride),
+            axis=1,
+        )[:, :w]
+        if photometric == 0:  # WhiteIsZero
+            bits = 1 - bits
+        return (bits * 255).astype(np.uint8)
+    raise ValueError(f"unsupported bilevel TIFF compression {comp}")
+
+
 def tiff_decode(data: bytes) -> np.ndarray:
-    """Decode 8-bit grayscale/RGB TIFF -> uint8 array. Compression:
-    none (1), LZW (5), Deflate (8 and old-style 32946); horizontal-
-    differencing predictor (tag 317 = 2); single- or multi-strip."""
+    """Decode grayscale/RGB/bilevel TIFF -> uint8 array. Compression:
+    none (1), LZW (5), Deflate (8 and old-style 32946), PackBits
+    (32773); bilevel: uncompressed, CCITT RLE (2), Group 4 (4);
+    horizontal-differencing predictor (tag 317 = 2); single- or
+    multi-strip."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -602,9 +667,16 @@ def tiff_decode(data: bytes) -> np.ndarray:
     w = fields["width"][0]
     h = fields["height"][0]
     comp = fields.get("compression", [1])[0]
+    bps = fields.get("bits_per_sample", [8])
+    spp0 = fields.get("samples_per_pixel", [len(bps)])[0]
+    if comp in (2, 3, 4) or (bps == [1] and spp0 == 1):
+        # CCITT compressions imply bilevel; bits_per_sample defaults to
+        # 1 in TIFF, so fax writers routinely omit the tag
+        if bps not in ([1], [8]) or spp0 != 1:
+            raise ValueError(f"unsupported bilevel TIFF layout {bps}/{spp0}")
+        return _tiff_decode_bilevel(data, fields, w, h, comp)
     if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
-    bps = fields.get("bits_per_sample", [8])
     if any(b != 8 for b in bps):
         raise ValueError(f"unsupported TIFF bit depth {bps}")
     spp = fields.get("samples_per_pixel", [len(bps)])[0]

@@ -41,11 +41,19 @@ def mixed_format_corpus(spark):
         elif i % 8 == 4:
             page["content"] = tiff_encode(img, compression="deflate", predictor=2)
         elif i % 8 == 5:
-            page["content"] = tiff_encode(img, compression="packbits")
+            # alternate the two bilevel fax layouts (Group 4 / MH RLE)
+            # with PackBits — the classic book-scan archive formats
+            if (i // 8) % 3 == 0:
+                page["content"] = tiff_encode(img, compression="g4")
+            elif (i // 8) % 3 == 1:
+                page["content"] = tiff_encode(img, compression="ccitt-rle")
+            else:
+                page["content"] = tiff_encode(img, compression="packbits")
         elif i % 8 == 6:
             page["content"] = png_encode(img, filter_mode="adaptive")
     formats = {i % 8 for i in range(len(pages))}
     assert formats == set(range(8)), "fixture must exercise all eight formats"
+    assert len(pages) >= 22, "need enough pages to hit all fax variants"
     docs_df, pages_df = corpus_to_spark(spark, documents, pages)
     return docs_df, pages_df, expected
 
