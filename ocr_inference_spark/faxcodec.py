@@ -157,16 +157,7 @@ def mh_decode(data: bytes, width: int, height: int) -> np.ndarray:
     img = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
         bits.align()
-        x = 0
-        white = True
-        while x < width:
-            run = _mh_run(bits, white)
-            if x + run > width:
-                raise ValueError("fax run overflows row")
-            if white:
-                img[y, x : x + run] = 1
-            x += run
-            white = not white
+        img[y] = _decode_1d_row(bits, width)
     return img
 
 
@@ -249,6 +240,16 @@ def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     img = np.ones((height, width), dtype=np.uint8)
     ref_trans: list[int] = [width, width]
     for y in range(height):
+        row = _decode_2d_row(bits, ref_trans, width)
+        img[y] = row
+        ref_trans = _transitions(row)
+    return img
+
+
+def _decode_2d_row(bits: _Bits, ref_trans: list[int], width: int) -> np.ndarray:
+    """Decode one 2-D-coded row (shared by T.6/G4 and T.4 2-D rows)
+    against the reference row's transitions; returns the {0,1} row."""
+    if True:  # keep the original loop indentation
         cur_trans: list[int] = []
         a0 = -1
         colour_white = True
@@ -317,6 +318,86 @@ def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
             white = not white
         if not white:
             row[prev:width] = 0
+        return row
+
+
+def _decode_1d_row(bits: _Bits, width: int) -> np.ndarray:
+    """One T.4 1-D (MH) row -> {0,1} array (no alignment handling)."""
+    row = np.zeros(width, dtype=np.uint8)
+    x = 0
+    white = True
+    while x < width:
+        run = _mh_run(bits, white)
+        if x + run > width:
+            raise ValueError("fax run overflows row")
+        if white:
+            row[x : x + run] = 1
+        x += run
+        white = not white
+    return row
+
+
+_EOL = "000000000001"
+
+
+def _expect_eol(bits: _Bits) -> None:
+    """Consume fill 0-bits then the 12-bit EOL word (T.4 §4.1.2)."""
+    zeros = 0
+    while True:
+        look = bits.peek(1)
+        if look == "":
+            raise ValueError("T.4 stream ended while seeking EOL")
+        bits.skip(1)
+        if look == "0":
+            zeros += 1
+            continue
+        if zeros >= 11:
+            return  # 0{>=11}1 = EOL (leading zeros beyond 11 are fill)
+        raise ValueError("malformed T.4 EOL")
+
+
+def g3_encode(img: np.ndarray, two_d: bool = False) -> bytes:
+    """(h, w) {0,1} uint8 -> T.4/G3 stream: every row preceded by EOL;
+    with ``two_d`` the 1-bit tag follows each EOL (all rows still coded
+    1-D here — legal under T4Options bit 0, K-factor 1)."""
+    bits: list[str] = []
+    w = img.shape[1]
+    for row in img:
+        bits.append(_EOL)
+        if two_d:
+            bits.append("1")  # this row is 1-D coded
+        real = _transitions(row)[:-2]
+        edges = [0] + real + [w]
+        for i in range(len(edges) - 1):
+            bits.append(
+                _mh_bits(edges[i + 1] - edges[i], WHITE_CODES if i % 2 == 0 else BLACK_CODES)
+            )
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+
+
+def g3_decode(data: bytes, width: int, height: int, two_d: bool = True) -> np.ndarray:
+    """T.4/G3 stream -> (h, w) {0,1} uint8. Each row is preceded by an
+    EOL (fill bits tolerated); with ``two_d`` (T4Options bit 0) a tag
+    bit selects 1-D (MH) or 2-D (T.6-mode) coding per row."""
+    bits = _Bits(data)
+    img = np.ones((height, width), dtype=np.uint8)
+    ref_trans: list[int] = [width, width]
+    for y in range(height):
+        _expect_eol(bits)
+        one_d = True
+        if two_d:
+            tag = bits.peek(1)
+            if tag == "":
+                raise ValueError("T.4 stream ended at row tag")
+            bits.skip(1)
+            one_d = tag == "1"
+        row = (
+            _decode_1d_row(bits, width)
+            if one_d
+            else _decode_2d_row(bits, ref_trans, width)
+        )
         img[y] = row
         ref_trans = _transitions(row)
     return img

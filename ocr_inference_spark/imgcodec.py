@@ -282,7 +282,7 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample",
     259: "compression", 262: "photometric", 266: "fill_order",
     273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
-    279: "strip_byte_counts", 317: "predictor",
+    279: "strip_byte_counts", 292: "t4_options", 317: "predictor",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
@@ -451,7 +451,7 @@ def lzw_decode(data: bytes) -> bytes:
 
 _TIFF_COMPRESSION_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 # bilevel-only compressions (1 bit/sample, photometric WhiteIsZero):
-_TIFF_FAX_CODES = {"ccitt-rle": 2, "g4": 4}
+_TIFF_FAX_CODES = {"ccitt-rle": 2, "g3": 3, "g4": 4}
 
 
 def _hdiff_encode(rows: np.ndarray, spp: int) -> np.ndarray:
@@ -496,13 +496,13 @@ def tiff_encode(
     if fax is not None:
         if img.ndim != 2:
             raise ValueError("fax compressions are bilevel: grayscale input only")
-        from .faxcodec import g4_encode, mh_encode
+        from .faxcodec import g3_encode, g4_encode, mh_encode
 
+        enc = {2: mh_encode, 4: g4_encode}.get(fax) or (
+            lambda b: g3_encode(b, two_d=True)
+        )
         bits = (img >= 128).astype(np.uint8)  # 1 = white
-        strips = [
-            (mh_encode if fax == 2 else g4_encode)(bits[y0 : y0 + rps])
-            for y0 in range(0, h, rps)
-        ]
+        strips = [enc(bits[y0 : y0 + rps]) for y0 in range(0, h, rps)]
         comp, spp, photometric, bit_depth = fax, 1, 0, 1  # WhiteIsZero
         predictor = 1
     else:
@@ -554,7 +554,7 @@ def tiff_encode(
     def long_val(v):
         return struct.pack("<I", v)
 
-    n_entries = 9 + (1 if predictor == 2 else 0)
+    n_entries = 9 + (1 if predictor == 2 else 0) + (1 if comp == 3 else 0)
     tail = b""
     tail_base = None  # computed after n_entries is final
 
@@ -585,6 +585,8 @@ def tiff_encode(
     entry(277, 3, 1, short_val(spp))
     entry(278, 4, 1, long_val(rps))
     entry(279, 4, len(strips), counts_value)
+    if comp == 3:
+        entry(292, 4, 1, long_val(1))  # T4Options: 2-D coding allowed
     if predictor == 2:
         entry(317, 3, 1, short_val(2))
     assert len(entries) == n_entries
@@ -604,18 +606,22 @@ def _tiff_decode_bilevel(data: bytes, fields, w: int, h: int, comp: int) -> np.n
     rps = fields.get("rows_per_strip", [h])[0]
     offsets = fields["strip_offsets"]
     counts = fields.get("strip_byte_counts", [len(data) - offsets[0]])
-    if comp in (2, 4):
-        from .faxcodec import g4_decode, mh_decode
+    if comp in (2, 3, 4):
+        from .faxcodec import g3_decode, g4_decode, mh_decode
 
+        t4opts = fields.get("t4_options", [0])[0]
+        if comp == 3 and t4opts & 2:
+            raise ValueError("T.4 uncompressed mode not supported")
         parts = []
         for si, (o, c) in enumerate(zip(offsets, counts)):
             n_rows = min(rps, h - si * rps)
             strip = data[o : o + c]
-            parts.append(
-                mh_decode(strip, w, n_rows)
-                if comp == 2
-                else g4_decode(strip, w, n_rows)
-            )
+            if comp == 2:
+                parts.append(mh_decode(strip, w, n_rows))
+            elif comp == 3:
+                parts.append(g3_decode(strip, w, n_rows, two_d=bool(t4opts & 1)))
+            else:
+                parts.append(g4_decode(strip, w, n_rows))
         white = np.concatenate(parts)  # 1 = white, independent of photometric
         return np.where(white == 1, 255, 0).astype(np.uint8)
     if comp == 1:

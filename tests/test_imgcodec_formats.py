@@ -474,6 +474,25 @@ def test_tiff_fax_container_roundtrip():
     assert len(tiff_encode(img, compression="g4")) < len(tiff_encode(img)) // 3
 
 
+def test_fax_g3_roundtrip_and_container():
+    """T.4/G3 (compression 3): EOL-per-row streams with and without
+    the 2-D tag bit roundtrip; the TIFF container carries T4Options.
+    (Java ImageIO's T.4 writer emits 2-D-coded rows; decoding those is
+    covered by the dev-time cross-validation and the shared
+    _decode_2d_row path the G4 fixtures pin.)"""
+    from ocr_inference_spark.faxcodec import g3_decode, g3_encode
+
+    rng = np.random.default_rng(4)
+    img = (rng.random((40, 75)) < 0.6).astype(np.uint8)
+    assert np.array_equal(g3_decode(g3_encode(img, two_d=True), 75, 40, two_d=True), img)
+    assert np.array_equal(
+        g3_decode(g3_encode(img, two_d=False), 75, 40, two_d=False), img
+    )
+    gray = np.where(img == 1, 255, 0).astype(np.uint8)
+    data = tiff_encode(gray, compression="g3")
+    assert np.array_equal(tiff_decode(data), gray)
+
+
 def test_tiff_fax_java_imageio_fixtures():
     """Real G4 / RLE streams from Java ImageIO's independent CCITT
     encoder (committed fixtures of the deterministic bilevel pattern)
@@ -483,7 +502,8 @@ def test_tiff_fax_java_imageio_fixtures():
 
     here = os.path.join(os.path.dirname(__file__), "data")
     want = np.where(_bilevel_pattern() == 1, 255, 0).astype(np.uint8)
-    for name in ("java_g4_48x64.tif", "java_ccittrle_48x64.tif"):
+    for name in ("java_g4_48x64.tif", "java_ccittrle_48x64.tif",
+                 "java_t4_48x64.tif"):
         with open(os.path.join(here, name), "rb") as f:
             got = tiff_decode(f.read())
         assert np.array_equal(got, want), name
