@@ -47,13 +47,25 @@ _DEDUP_STATE = StructType([StructField("seen", IntegerType())])
 
 
 def streaming_exact_dedup(
-    stream_df: DataFrame, id_col: str, text_col: str
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ttl_seconds: float | None = None,
 ) -> DataFrame:
     """First occurrence of each normalized-text key across the stream.
 
     Within a micro-batch, ties resolve to the smallest id
     (deterministic); across micro-batches the state row suppresses every
-    later duplicate. Output schema: (id, dup_key, text)."""
+    later duplicate. Output schema: (id, dup_key, text).
+
+    ``ttl_seconds`` bounds the state store: a key's row is evicted
+    once no occurrence has arrived for that long (processing-time
+    timeout), after which the next occurrence is treated as new. At
+    10^12-doc scale unbounded exact-forever state is not a real
+    deployment — "suppress duplicates within a window" with TTL
+    eviction keeps the RocksDB store proportional to the ACTIVE key
+    set, which is the standard production posture. Default None keeps
+    the exact-forever semantics for bounded backfills."""
     keyed = stream_df.select(
         F.col(id_col).cast("long").alias("id"),
         F.md5(normalize(F.col(text_col)).cast("binary")).alias("dup_key"),
@@ -63,11 +75,18 @@ def streaming_exact_dedup(
     def dedup_fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
+        empty = pd.DataFrame(columns=["id", "dup_key", "text"])
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: forget the key entirely
+            yield empty
+            return
         if state.exists:
             # key already emitted in an earlier micro-batch
             for _ in pdf_iter:
                 pass
-            yield pd.DataFrame(columns=["id", "dup_key", "text"])
+            if ttl_seconds is not None:
+                state.setTimeoutDuration(int(ttl_seconds * 1000))
+            yield empty
             return
         best = None
         for pdf in pdf_iter:
@@ -77,8 +96,10 @@ def streaming_exact_dedup(
             if best is None or row["id"] < best["id"]:
                 best = row
         state.update((1,))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(int(ttl_seconds * 1000))
         if best is None:
-            yield pd.DataFrame(columns=["id", "dup_key", "text"])
+            yield empty
         else:
             yield pd.DataFrame(
                 {"id": [best["id"]], "dup_key": [key[0]], "text": [best["text"]]}
@@ -89,7 +110,11 @@ def streaming_exact_dedup(
         outputStructType=_DEDUP_OUT,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_seconds is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -193,6 +193,110 @@ def test_streaming_dedup_survives_restart(spark, tmp_path):
     assert sorted(got.values()) == [1, 2, 4, 7]  # first-arrival ids only
 
 
+def test_streaming_dedup_ttl_evicts_state(spark, tmp_path):
+    """TTL-bounded dedup: a key idle past ttl_seconds is EVICTED
+    (processing-time timeout -> state.remove), so a later duplicate is
+    re-emitted as new — the bounded-state posture a 10^12-doc ingest
+    needs. Run 1 seeds the key; after sleeping past the TTL, run 2
+    (same checkpoint) must emit the duplicate again."""
+    import time
+
+    from ocr_inference_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    out_path = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def sink_ids(path):
+        try:
+            return sorted(r["id"] for r in spark.read.parquet(path).collect())
+        except Exception:
+            return []
+
+    def start_q():
+        # NOTE: a query with registered processing-time timers never
+        # self-terminates under availableNow (it stays alive to fire
+        # them), so poll the SINK / batch progress and stop explicitly
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            streaming_exact_dedup(stream, "doc_id", "text", ttl_seconds=2.0)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def wait_sink(want_ids, timeout=120):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sink_ids(out_path) == want_ids:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"sink never reached {want_ids}: {sink_ids(out_path)}")
+
+    write_file([(1, "expiring key")])
+    q = start_q()
+    wait_sink([1])
+    q.stop()
+    q.awaitTermination(60)
+
+    # restart with NO new data: idle batches past the TTL fire the
+    # processing-time timeout and EVICT the key (eviction only happens
+    # in a batch where the key receives no rows)
+    time.sleep(3)
+    q = start_q()
+    first = None
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None:
+            first = first if first is not None else p["batchId"]
+            if p["batchId"] >= first + 3:  # several idle batches ran
+                break
+        time.sleep(0.3)
+    # the duplicate of the now-evicted key must be re-emitted as new
+    write_file([(2, "expiring key")])
+    wait_sink([1, 2])
+    q.stop()
+    q.awaitTermination(60)
+
+    # control: without ttl the same pattern suppresses the duplicate
+    src2, out2, ck2 = (str(tmp_path / p) for p in ("in2", "out2", "ck2"))
+
+    def write2(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src2)
+
+    def run_plain():
+        stream = spark.readStream.schema(schema).parquet(src2)
+        q = (
+            streaming_exact_dedup(stream, "doc_id", "text")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write2([(1, "expiring key")])
+    run_plain()
+    time.sleep(3)
+    write2([(2, "expiring key")])
+    run_plain()
+    assert sink_ids(out2) == [1]  # no ttl -> still suppressed
+
+
 def test_streaming_quality_gate(spark, tmp_path):
     from ocr_inference_spark.streaming import streaming_quality_gate
 
