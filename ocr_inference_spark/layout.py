@@ -181,9 +181,21 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def kernel(batches):
-        from .imgcodec import png_encode
+        from .imgcodec import png_encode, tiff_encode
         from .render import render_page
 
+        # rotate LOSSLESS container formats per doc so the driver's own
+        # correctness gate (q34/q38 vs the DuckDB spec oracle) exercises
+        # the real ingestion codecs, not just PNG — bit-exact formats
+        # only, so the rendered geometry the oracle predicts is
+        # untouched (JPEG stays in the pytest sweeps)
+        encoders = [
+            png_encode,
+            lambda im: tiff_encode(im, compression="g4"),
+            lambda im: tiff_encode(im, compression="lzw", predictor=2),
+            lambda im: tiff_encode(im, compression="deflate", predictor=2),
+            lambda im: tiff_encode(im, compression="packbits"),
+        ]
         for pdf in batches:
             rows = {k: [] for k in ("media_ref", "content", "width", "height")}
             for doc_id, n_lines, caption, noise in zip(
@@ -195,7 +207,7 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
                     noise=bool(noise),
                 )
                 rows["media_ref"].append(str(doc_id))
-                rows["content"].append(png_encode(img))
+                rows["content"].append(encoders[int(doc_id) % 5](img))
                 rows["width"].append(int(img.shape[1]))
                 rows["height"].append(int(img.shape[0]))
             yield pd.DataFrame(rows)
