@@ -264,14 +264,63 @@ def _extend(value: int, size: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+def _exif_orientation(payload: bytes) -> int:
+    """Orientation (tag 0x0112) from an APP1 Exif payload, 0 if absent.
+    Payload = 'Exif\\0\\0' + TIFF header + IFD0 (public Exif 2.x /
+    TIFF 6.0 layout)."""
+    if not payload.startswith(b"Exif\x00\x00"):
+        return 0
+    t = payload[6:]
+    if t[:2] == b"II":
+        bo = "<"
+    elif t[:2] == b"MM":
+        bo = ">"
+    else:
+        return 0
+    try:
+        (ifd_off,) = struct.unpack(bo + "I", t[4:8])
+        (n,) = struct.unpack(bo + "H", t[ifd_off : ifd_off + 2])
+        for i in range(n):
+            off = ifd_off + 2 + i * 12
+            tag, typ = struct.unpack(bo + "HH", t[off : off + 4])
+            if tag == 0x0112 and typ == 3:
+                return struct.unpack(bo + "H", t[off + 8 : off + 10])[0]
+    except struct.error:
+        return 0
+    return 0
+
+
+def _apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an Exif orientation (2-8) the way cv2.imread does by
+    default (1/0 = already upright)."""
+    if orientation == 2:
+        return img[:, ::-1].copy()
+    if orientation == 3:
+        return img[::-1, ::-1].copy()
+    if orientation == 4:
+        return img[::-1].copy()
+    if orientation == 5:  # transpose
+        return np.rot90(img, k=-1)[:, ::-1].copy()
+    if orientation == 6:  # 90 deg clockwise
+        return np.rot90(img, k=-1).copy()
+    if orientation == 7:  # transverse
+        return np.rot90(img, k=1)[:, ::-1].copy()
+    if orientation == 8:  # 270 deg clockwise
+        return np.rot90(img, k=1).copy()
+    return img
+
+
+def jpeg_decode(data: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
     """Decode JPEG bytes -> (H,W) grayscale or (H,W,3) RGB uint8.
 
     Supported processes: baseline/extended sequential DCT (SOF0/SOF1,
     interleaved or one-scan-per-component) and progressive DCT (SOF2,
     spectral selection + successive approximation per ITU-T T.81 §G).
     Coefficients accumulate across scans into per-component block
-    arrays; the image is reconstructed once at EOI (or end of data)."""
+    arrays; the image is reconstructed once at EOI (or end of data).
+    An APP1 Exif orientation tag is applied by default — matching
+    cv2.imread, the reference's loader — so phone/scanner captures come
+    out upright; pass ``apply_exif_orientation=False`` for raw pixels."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -281,6 +330,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comp_states = None  # id -> per-component coefficient state
     order = None  # frame-ordered component states
     restart_interval = 0
+    orientation = 0
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -338,6 +388,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); "
                 "only baseline sequential and progressive DCT are implemented"
             )
+        elif marker == 0xE1 and orientation == 0:  # APP1: Exif
+            orientation = _exif_orientation(payload)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -354,7 +406,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     unscanned = [st["id"] for st in order if not st["scanned"]]
     if unscanned:
         raise ValueError(f"no scan covered component(s) {unscanned}")
-    return _reconstruct(frame, order, qtables)
+    img = _reconstruct(frame, order, qtables)
+    if apply_exif_orientation and orientation > 1:
+        img = _apply_orientation(img, orientation)
+    return img
 
 
 def _alloc_comp_states(frame):
@@ -859,8 +914,13 @@ def jpeg_encode(
     subsampling: str = "444",
     restart_interval: int = 0,
     interleaved: bool = True,
+    exif_orientation: int = 0,
 ) -> bytes:
     """Encode (H,W) grayscale or (H,W,3) RGB uint8 as baseline JFIF.
+
+    ``exif_orientation`` (1-8) writes an APP1 Exif segment carrying the
+    orientation tag — the metadata phone/scanner captures ship, which
+    the decoder applies by default like cv2.imread.
 
     ``subsampling``: '444' (one block of each component per MCU) or
     '420' (16x16 MCU: 4 Y blocks + 2x2-averaged Cb, Cr — the common
@@ -887,6 +947,15 @@ def jpeg_encode(
     # JFIF APP0
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if exif_orientation:
+        tiff = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<HH", exif_orientation, 0)
+            + struct.pack("<I", 0)
+        )
+        app1 = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
     # DQT
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qy.tolist())
     if not gray:

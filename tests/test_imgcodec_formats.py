@@ -176,6 +176,40 @@ def test_jpeg_progressive_truncated_terminates(cut):
         pass
 
 
+def test_jpeg_exif_orientation_applied_like_cv2():
+    """Exif orientation 2-8 (APP1) is applied on decode by default —
+    matching cv2.imread, the reference's loader — and can be disabled.
+    For each orientation the encoder stores the INVERSE-transformed
+    pixels; decode must return the upright original."""
+    from ocr_inference_spark.jpegcodec import _apply_orientation
+
+    img = _test_image_gray(40, 56)
+    # characterize the published Exif mapping on an asymmetric array
+    probe = np.arange(12).reshape(3, 4)
+    assert np.array_equal(_apply_orientation(probe, 3), probe[::-1, ::-1])
+    assert np.array_equal(_apply_orientation(probe, 5), probe.T)
+    assert np.array_equal(_apply_orientation(probe, 6), np.rot90(probe, -1))
+    assert np.array_equal(_apply_orientation(probe, 8), np.rot90(probe, 1))
+
+    inverse = {
+        1: lambda a: a, 2: lambda a: a[:, ::-1], 3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1], 5: lambda a: a.T, 6: lambda a: np.rot90(a, 1),
+        7: lambda a: a[::-1, ::-1].T, 8: lambda a: np.rot90(a, -1),
+    }
+    for o, inv in inverse.items():
+        stored = np.ascontiguousarray(inv(img))
+        data = jpeg_encode(stored, quality=95, exif_orientation=o)
+        assert b"Exif\x00\x00" in data
+        out = jpeg_decode(data)
+        assert out.shape == img.shape, o
+        assert _psnr(img, out) > 33.0, o
+        raw = jpeg_decode(data, apply_exif_orientation=False)
+        assert raw.shape == stored.shape, o
+    # no Exif segment -> identical either way
+    plain = jpeg_encode(img, quality=95)
+    assert np.array_equal(jpeg_decode(plain), jpeg_decode(plain, False))
+
+
 def test_jpeg_rejects_garbage():
     with pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01\x02garbage")
