@@ -212,44 +212,6 @@ def _packed_lut(tbl: _DecodeTable) -> list[int]:
     return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing already applied."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, want: int) -> None:
-        while self.nbits < want:
-            if self.pos < len(self.data):
-                self.acc = (self.acc << 8) | self.data[self.pos]
-                self.pos += 1
-            else:
-                self.acc <<= 8  # pad with zeros past the end (spec behavior)
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._fill(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.skip(n)
-        return out
-
-
 def _extend(value: int, size: int) -> int:
     """T.81 F.12 EXTEND: map a `size`-bit magnitude to its signed value."""
     if size == 0:
@@ -518,43 +480,13 @@ def _decode_sos(data, pos, payload, frame, comp_states, htables, restart_interva
 
     if not progressive:
         return _decode_scan_fast(data, pos, frame, scan, restart_interval, ns)
-
-    mcus_x = frame["mcus_x"]
-    if ns > 1:
-        n_units = mcus_x * frame["mcus_y"]
-    else:
-        n_units = scan[0]["nbx"] * scan[0]["nby"]
-    eobrun = 0
-    seg, next_pos = _entropy_segment(data, pos)
-    reader = _BitReader(seg)
-    for unit in range(n_units):
-        if restart_interval and unit and unit % restart_interval == 0:
-            # expect RSTn at next_pos; reset predictors + EOB run + bits
-            if next_pos + 1 < len(data) and 0xD0 <= data[next_pos + 1] <= 0xD7:
-                seg, next_pos = _entropy_segment(data, next_pos + 2)
-                reader = _BitReader(seg)
-                for st in scan:
-                    st["pred"] = 0
-                eobrun = 0
-        if ns > 1:
-            my, mx = divmod(unit, mcus_x)
-            for st in scan:
-                ch, cv = st["h"], st["v"]
-                for by in range(cv):
-                    for bx in range(ch):
-                        idx = (my * cv + by) * st["bw"] + (mx * ch + bx)
-                        eobrun = _decode_unit(
-                            reader, st, st["coef"][idx], ss, se, ah, al,
-                            progressive, eobrun,
-                        )
-        else:
-            st = scan[0]
-            my, mx = divmod(unit, st["nbx"])
-            eobrun = _decode_unit(
-                reader, st, st["coef"][my * st["bw"] + mx], ss, se, ah, al,
-                progressive, eobrun,
-            )
-    return next_pos
+    if ss > 0:  # progressive AC scans are single-component (checked above)
+        return _decode_prog_ac_scan_fast(
+            data, pos, scan[0], ss, se, ah, al, restart_interval
+        )
+    return _decode_prog_dc_scan_fast(
+        data, pos, frame, scan, ah, al, restart_interval, ns
+    )
 
 
 # hot-loop lookup tables: (1<<n)-1 masks, EXTEND threshold/offset per
@@ -666,146 +598,222 @@ def _decode_scan_fast(data, pos, frame, scan, restart_interval, ns):
     return next_pos
 
 
-def _decode_unit(reader, st, block, ss, se, ah, al, progressive, eobrun):
-    """Decode one 8x8 block's contribution for the current scan into
-    ``block`` (a (64,) int32 zigzag-ordered view). Returns the updated
-    scan-level EOB run."""
-    if not progressive:
-        _decode_block_seq(reader, st, block)
-        return 0
-    if ss == 0:  # DC scan
-        if ah == 0:
-            dc_tbl = st["dc"]
-            look = reader.peek16()
-            size = int(dc_tbl.sym[look])
-            if size < 0:
-                raise ValueError("invalid DC Huffman code")
-            reader.skip(int(dc_tbl.length[look]))
-            st["pred"] += _extend(reader.read(size), size)
-            block[0] = st["pred"] << al
-        elif reader.read(1):
-            block[0] |= 1 << al
-        return eobrun
-    if ah == 0:
-        return _decode_ac_first(reader, st, block, ss, se, al, eobrun)
-    return _decode_ac_refine(reader, st, block, ss, se, al, eobrun)
+def _decode_prog_dc_scan_fast(data, pos, frame, scan, ah, al, restart_interval, ns):
+    """Progressive DC scan (first: Huffman-coded diffs of dc>>Al;
+    refinement: one raw bit per block), interleaved or single-component,
+    with local bit state. Semantics per T.81 G.1.2.1."""
+    mcus_x = frame["mcus_x"]
+    n_units = mcus_x * frame["mcus_y"] if ns > 1 else scan[0]["nbx"] * scan[0]["nby"]
+    plans = []
+    for st in scan:
+        plans.append(
+            (st, _packed_lut(st["dc"]) if ah == 0 else None, st["coef"][:, 0].tolist())
+        )
+    seg, next_pos = _entropy_segment(data, pos)
+    buf = seg
+    nlen = len(buf)
+    acc = 0
+    nbits = 0
+    p = 0
+    preds = [0] * len(scan)
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            if next_pos + 1 < len(data) and 0xD0 <= data[next_pos + 1] <= 0xD7:
+                seg, next_pos = _entropy_segment(data, next_pos + 2)
+                buf = seg
+                nlen = len(buf)
+                acc = 0
+                nbits = 0
+                p = 0
+                preds = [0] * len(scan)
+        for ci, (st, dc_lut, col) in enumerate(plans):
+            if ns > 1:
+                my, mx = divmod(unit, mcus_x)
+                ch, cv = st["h"], st["v"]
+                block_ids = [
+                    (my * cv + by) * st["bw"] + (mx * ch + bx)
+                    for by in range(cv)
+                    for bx in range(ch)
+                ]
+            else:
+                my, mx = divmod(unit, st["nbx"])
+                block_ids = [my * st["bw"] + mx]
+            for bid in block_ids:
+                if ah == 0:
+                    while nbits < 32:
+                        acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                        p += 1
+                        nbits += 8
+                    e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid DC Huffman code")
+                    size = e & 0xFF
+                    nbits -= e >> 8
+                    if size:
+                        v = (acc >> (nbits - size)) & _MASKS[size]
+                        nbits -= size
+                        if v < _EXT_HALF[size]:
+                            v += _EXT_SUB[size]
+                        preds[ci] += v
+                    acc &= _MASKS[nbits]
+                    col[bid] = preds[ci] << al
+                else:
+                    if nbits == 0:
+                        acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                        p += 1
+                        nbits = 8
+                    bit = (acc >> (nbits - 1)) & 1
+                    nbits -= 1
+                    acc &= _MASKS[nbits]
+                    if bit:
+                        col[bid] |= 1 << al
+    for st, _lut, col in plans:
+        st["coef"][:, 0] = col
+        st["pred"] = 0
+    return next_pos
 
 
-def _decode_block_seq(reader: _BitReader, st, block) -> None:
-    """Sequential-mode block: DC diff + full AC band (T.81 F.2)."""
-    dc_tbl, ac_tbl = st["dc"], st["ac"]
-    look = reader.peek16()
-    size = int(dc_tbl.sym[look])
-    if size < 0:
-        raise ValueError("invalid DC Huffman code")
-    reader.skip(int(dc_tbl.length[look]))
-    diff = _extend(reader.read(size), size)
-    st["pred"] += diff
-    block[0] = st["pred"]
-    k = 1
-    while k < 64:
-        look = reader.peek16()
-        rs = int(ac_tbl.sym[look])
-        if rs < 0:
-            raise ValueError("invalid AC Huffman code")
-        reader.skip(int(ac_tbl.length[look]))
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run overflows block")
-        block[k] = _extend(reader.read(size), size)
-        k += 1
-
-
-def _decode_ac_first(reader, st, block, ss, se, al, eobrun):
-    """First AC scan of a band (T.81 G.1.2.2): run-length coded
-    magnitudes scaled by 2^Al, with EOBn codes spanning whole blocks."""
-    if eobrun > 0:
-        return eobrun - 1
-    ac_tbl = st["ac"]
-    k = ss
-    while k <= se:
-        look = reader.peek16()
-        rs = int(ac_tbl.sym[look])
-        if rs < 0:
-            raise ValueError("invalid AC Huffman code")
-        reader.skip(int(ac_tbl.length[look]))
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            eobrun = (1 << r) - 1
-            if r:
-                eobrun += reader.read(r)
-            return eobrun
-        k += r
-        if k > se:
-            raise ValueError("AC run overflows band")
-        block[k] = _extend(reader.read(s), s) << al
-        k += 1
-    return 0
-
-
-def _decode_ac_refine(reader, st, block, ss, se, al, eobrun):
-    """AC refinement scan (T.81 G.1.2.3): one correction bit per
-    already-nonzero coefficient; newly-significant coefficients arrive
-    as (run, 1) codes whose run counts only zero-history positions."""
+def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
+    """Progressive AC scan (first pass or refinement) with the same
+    local-bit-state/packed-LUT treatment as _decode_scan_fast; the
+    scan's spectral band is snapshotted to Python ints once and written
+    back once (semantics identical to _decode_ac_first/_decode_ac_refine
+    — T.81 G.1.2.2/G.1.2.3)."""
+    nbx, nby, bw = st["nbx"], st["nby"], st["bw"]
+    n_units = nbx * nby
+    ac_lut = _packed_lut(st["ac"])
+    nb = se - ss + 1
+    band_rows = st["coef"][:, ss : se + 1].tolist()
+    seg, next_pos = _entropy_segment(data, pos)
+    buf = seg
+    nlen = len(buf)
+    acc = 0
+    nbits = 0
+    p = 0
+    eobrun = 0
     p1 = 1 << al
     m1 = -1 << al
-    ac_tbl = st["ac"]
-    k = ss
-    # per-coefficient walk: Python ints are ~5x faster than numpy
-    # scalar indexing here; write back once at the end
-    blk = block.tolist()
-    if eobrun == 0:
-        while k <= se:
-            look = reader.peek16()
-            rs = int(ac_tbl.sym[look])
-            if rs < 0:
-                raise ValueError("invalid AC Huffman code")
-            reader.skip(int(ac_tbl.length[look]))
-            r, s = rs >> 4, rs & 0x0F
-            val = 0
-            if s == 0:
-                if r < 15:
-                    eobrun = 1 << r
+    refine = ah != 0
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            if next_pos + 1 < len(data) and 0xD0 <= data[next_pos + 1] <= 0xD7:
+                seg, next_pos = _entropy_segment(data, next_pos + 2)
+                buf = seg
+                nlen = len(buf)
+                acc = 0
+                nbits = 0
+                p = 0
+                eobrun = 0
+        my, mx = divmod(unit, nbx)
+        blk = band_rows[my * bw + mx]
+        k = 0
+        if not refine:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            while k < nb:
+                while nbits < 32:
+                    acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                    p += 1
+                    nbits += 8
+                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid AC Huffman code")
+                nbits -= e >> 8
+                s = e & 0x0F
+                r = (e >> 4) & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        acc &= _MASKS[nbits]
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
                     if r:
-                        eobrun += reader.read(r)
+                        eobrun += (acc >> (nbits - r)) & _MASKS[r]
+                        nbits -= r
+                    acc &= _MASKS[nbits]
                     break
-                # r == 15: ZRL — skip 16 zero-history coefficients
-            elif s != 1:
-                raise ValueError("refinement scan with magnitude > 1")
-            else:
-                val = p1 if reader.read(1) else m1
-            while k <= se:
+                k += r
+                if k >= nb:
+                    raise ValueError("AC run overflows band")
+                v = (acc >> (nbits - s)) & _MASKS[s]
+                nbits -= s
+                acc &= _MASKS[nbits]
+                if v < _EXT_HALF[s]:
+                    v += _EXT_SUB[s]
+                blk[k] = v << al
+                k += 1
+            continue
+        # refinement scan
+        if eobrun == 0:
+            while k < nb:
+                while nbits < 32:
+                    acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                    p += 1
+                    nbits += 8
+                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid AC Huffman code")
+                nbits -= e >> 8
+                s = e & 0x0F
+                r = (e >> 4) & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += (acc >> (nbits - r)) & _MASKS[r]
+                            nbits -= r
+                        acc &= _MASKS[nbits]
+                        break
+                    acc &= _MASKS[nbits]
+                elif s != 1:
+                    raise ValueError("refinement scan with magnitude > 1")
+                else:
+                    if nbits == 0:
+                        acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                        p += 1
+                        nbits = 8
+                    val = p1 if (acc >> (nbits - 1)) & 1 else m1
+                    nbits -= 1
+                    acc &= _MASKS[nbits]
+                while k < nb:
+                    c = blk[k]
+                    if c != 0:
+                        if nbits == 0:
+                            acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                            p += 1
+                            nbits = 8
+                        bit = (acc >> (nbits - 1)) & 1
+                        nbits -= 1
+                        acc &= _MASKS[nbits]
+                        if bit and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k < nb:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k < nb:
                 c = blk[k]
                 if c != 0:
-                    if reader.read(1) and (c & p1) == 0:
+                    if nbits == 0:
+                        acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                        p += 1
+                        nbits = 8
+                    bit = (acc >> (nbits - 1)) & 1
+                    nbits -= 1
+                    acc &= _MASKS[nbits]
+                    if bit and (c & p1) == 0:
                         blk[k] = c + (p1 if c >= 0 else m1)
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
                 k += 1
-            if val != 0 and k <= se:
-                blk[k] = val
-            k += 1
-    if eobrun > 0:
-        while k <= se:
-            c = blk[k]
-            if c != 0:
-                if reader.read(1) and (c & p1) == 0:
-                    blk[k] = c + (p1 if c >= 0 else m1)
-            k += 1
-        eobrun -= 1
-    block[:] = blk
-    return eobrun
+            eobrun -= 1
+    st["coef"][:, ss : se + 1] = np.array(band_rows, dtype=np.int32)
+    return next_pos
 
 
 def _reconstruct(frame, order, qtables):
