@@ -63,13 +63,18 @@ class PipelineOptions:
     - ``dewarp``: False disables the TPS/dewarp stage entirely
       (reference runs dewarping only when --dewarp is passed).
     - ``merge_lines``: group same-row chunks into one line (reference
-      --merge-lines / group_line_chunks)."""
+      --merge-lines / group_line_chunks).
+    - ``emit_contours``: per-line rectified contour polygons in the OCR
+      rows (PageXML Coords parity — the reference exports them from the
+      same inference run). Costs 1-3 ms/page (BENCH/NOTES_r4.md §1);
+      turn off for text-only pipelines that never export PageXML."""
 
     k_factor: float = 1.2  # linecrop.DEFAULT_K_FACTOR
     tps_mode: str = "global"
     line_sorting: str = "threshold"
     dewarp: bool = True
     merge_lines: bool = True
+    emit_contours: bool = True
 
 
 @dataclass
@@ -272,9 +277,12 @@ def process_page(
         line_imgs = extract_line_images(
             ink, ordered, local_tps=tps_mode == "local", k_factor=options.k_factor
         )
-        from .kernels.contours import contour_points
+        if options.emit_contours:
+            from .kernels.contours import contour_points
 
-        line_contours = [contour_points(c) for c in ordered]
+            line_contours = [contour_points(c) for c in ordered]
+        else:
+            line_contours = []
         _mark("extract")
 
         stage = "recognize"

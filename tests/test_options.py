@@ -27,6 +27,20 @@ def test_default_options_equal_no_options():
     assert a.texts == b.texts and a.status == b.status
 
 
+def test_emit_contours_off_keeps_text_identical():
+    """emit_contours=False (text-only pipelines) skips the per-line
+    contour tracing but must not change ANY recognition output."""
+    content = png_encode(
+        render_page(["the quick brown fox", "jumps over the dog"], skew_deg=1.5)
+    )
+    sess = RecognitionSession(serialize_weights())
+    a = process_page(content, sess)
+    b = process_page(content, sess, options=PipelineOptions(emit_contours=False))
+    assert a.texts == b.texts and a.confs == b.confs and a.status == b.status
+    assert len(a.contours) == len(a.texts) > 0
+    assert b.contours == []
+
+
 def test_peaks_option_through_extract(spark):
     """line_sorting='peaks' threaded through the Spark kernel produces
     the same spans as threshold on clean pages."""
