@@ -290,6 +290,8 @@ def _decode_2d_row(bits: _Bits, ref_trans: list[int], width: int) -> np.ndarray:
                 continue
             if mode == "V":
                 a1 = b1 + d
+                if a1 <= a0:  # malformed: coding position must advance
+                    raise ValueError("T.6 vertical mode does not advance")
                 cur_trans.append(a1)
                 a0 = a1
                 colour_white = not colour_white
@@ -302,6 +304,8 @@ def _decode_2d_row(bits: _Bits, ref_trans: list[int], width: int) -> np.ndarray:
             a2 = a1 + r2
             if a2 > width:
                 raise ValueError("T.6 horizontal runs overflow row")
+            if a2 <= a0:  # malformed zero-length run pair: no progress
+                raise ValueError("T.6 horizontal mode does not advance")
             cur_trans.append(a1)
             cur_trans.append(a2)
             a0 = a2
@@ -322,11 +326,15 @@ def _decode_2d_row(bits: _Bits, ref_trans: list[int], width: int) -> np.ndarray:
 
 
 def _decode_1d_row(bits: _Bits, width: int) -> np.ndarray:
-    """One T.4 1-D (MH) row -> {0,1} array (no alignment handling)."""
+    """One T.4 1-D (MH) row -> {0,1} array (no alignment handling).
+    The run count is bounded so malformed streams of repeated
+    zero-length codes terminate instead of spinning."""
     row = np.zeros(width, dtype=np.uint8)
     x = 0
     white = True
-    while x < width:
+    for _ in range(2 * width + 4):
+        if x >= width:
+            return row
         run = _mh_run(bits, white)
         if x + run > width:
             raise ValueError("fax run overflows row")
@@ -334,7 +342,7 @@ def _decode_1d_row(bits: _Bits, width: int) -> np.ndarray:
             row[x : x + run] = 1
         x += run
         white = not white
-    return row
+    raise ValueError("malformed T.4 row: run count exceeds bound")
 
 
 _EOL = "000000000001"

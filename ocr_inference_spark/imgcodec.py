@@ -663,6 +663,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
         if tag not in _TIFF_TAGS or typ not in _TIFF_TYPE_SIZE:
             continue
         size = _TIFF_TYPE_SIZE[typ] * count
+        if size > len(data):  # corrupt count: a value cannot outsize the file
+            raise ValueError(f"TIFF field {tag} count {count} exceeds file size")
         if size <= 4:
             raw = data[off + 8 : off + 8 + size]
         else:

@@ -646,6 +646,61 @@ def test_tiff_truncated_stream_raises():
         tiff_decode(data[:40])
 
 
+@pytest.mark.parametrize("comp", ["g4", "ccitt-rle", "g3"])
+def test_fax_truncated_and_bitflipped_terminate(comp):
+    """Malformed fax streams must TERMINATE — clear error or garbage
+    pixels of the declared shape, never a hang (the page kernel maps
+    raised errors to failed:decode rows)."""
+    rng = np.random.default_rng(13)
+    img = np.where(_bilevel_pattern(40, 64) == 1, 255, 0).astype(np.uint8)
+    data = tiff_encode(img, compression=comp)
+    for cut in (0.3, 0.6, 0.9):
+        try:
+            out = tiff_decode(data[: int(len(data) * cut)] + data[-180:])
+            assert out.dtype == np.uint8
+        except Exception:
+            pass
+    for _ in range(10):
+        flipped = bytearray(data)
+        for _ in range(6):
+            i = int(rng.integers(8, len(flipped)))
+            flipped[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = tiff_decode(bytes(flipped))
+            assert out.dtype == np.uint8
+        except Exception:
+            pass
+
+
+def test_png_truncated_and_bitflipped_terminate():
+    """Same termination guarantee for the widened PNG surface
+    (filters, palette, interlace): zlib/CRC/filter errors raise,
+    anything that decodes has a sane shape."""
+    from ocr_inference_spark.imgcodec import png_decode
+
+    rng = np.random.default_rng(17)
+    imgs = [
+        png_encode(_test_image_gray(32, 48), filter_mode="adaptive"),
+        png_encode(_test_image_rgb(24, 40), filter_mode=4),
+    ]
+    for data in imgs:
+        for cut in (0.3, 0.7):
+            try:
+                png_decode(data[: int(len(data) * cut)])
+            except Exception:
+                pass
+        for _ in range(10):
+            flipped = bytearray(data)
+            for _ in range(4):
+                i = int(rng.integers(8, len(flipped)))
+                flipped[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out = png_decode(bytes(flipped))
+                assert out.dtype == np.uint8
+            except Exception:
+                pass
+
+
 def test_decode_image_bitflip_garbage_terminates():
     """Random bit flips inside a valid JPEG either decode (Huffman
     resync luck) or raise — both acceptable; the requirement is
