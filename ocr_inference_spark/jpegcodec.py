@@ -909,8 +909,12 @@ def _pad8(plane: np.ndarray) -> np.ndarray:
 
 
 def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    return _pad_to_hw(plane, mult, mult)
+
+
+def _pad_to_hw(plane: np.ndarray, hm: int, wm: int) -> np.ndarray:
     h, w = plane.shape
-    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    ph, pw = -(-h // hm) * hm, -(-w // wm) * wm
     if (ph, pw) == (h, w):
         return plane
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -930,9 +934,11 @@ def jpeg_encode(
     orientation tag — the metadata phone/scanner captures ship, which
     the decoder applies by default like cv2.imread.
 
-    ``subsampling``: '444' (one block of each component per MCU) or
+    ``subsampling``: '444' (one block of each component per MCU),
     '420' (16x16 MCU: 4 Y blocks + 2x2-averaged Cb, Cr — the common
-    camera/scanner layout). ``restart_interval`` > 0 emits a DRI
+    camera/scanner layout) or '422' (16x8 MCU: 2 Y blocks +
+    half-width chroma — the classic scanner/video layout).
+    ``restart_interval`` > 0 emits a DRI
     segment and an RSTn marker every that many MCUs (predictors reset,
     bitstream byte-aligned) — the error-resilience feature real scan
     archives carry. ``interleaved=False`` writes one SOS per component
@@ -944,9 +950,10 @@ def jpeg_encode(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError(f"unsupported shape {img.shape}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     sub420 = (not gray) and subsampling == "420"
+    sub422 = (not gray) and subsampling == "422"
     h, w = img.shape[:2]
     qy = _quality_scale(Q_LUMA, quality)
     qc = _quality_scale(Q_CHROMA, quality)
@@ -970,7 +977,7 @@ def jpeg_encode(
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc.tolist())
     # SOF0
     ncomp = 1 if gray else 3
-    y_sampling = 0x22 if sub420 else 0x11
+    y_sampling = 0x22 if sub420 else (0x21 if sub422 else 0x11)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     sof += bytes([1, y_sampling, 0])
     if not gray:
@@ -1020,6 +1027,18 @@ def jpeg_encode(
             mcus_x, mcus_y = pw // 16, ph // 16
             comps = [
                 (_quantized_zigzag(yp, qy), pw // 8, 2, 2, dc_y, ac_y),
+                (_quantized_zigzag(cbp, qc), pw // 16, 1, 1, dc_c, ac_c),
+                (_quantized_zigzag(crp, qc), pw // 16, 1, 1, dc_c, ac_c),
+            ]
+        elif sub422:
+            yp = _pad_to_hw(y, 8, 16)
+            ph, pw = yp.shape
+            # chroma: horizontal 2-pixel mean only (full vertical res)
+            cbp = _pad_to_hw(cb, 8, 16).reshape(ph, pw // 2, 2).mean(axis=2)
+            crp = _pad_to_hw(cr, 8, 16).reshape(ph, pw // 2, 2).mean(axis=2)
+            mcus_x, mcus_y = pw // 16, ph // 8
+            comps = [
+                (_quantized_zigzag(yp, qy), pw // 8, 2, 1, dc_y, ac_y),
                 (_quantized_zigzag(cbp, qc), pw // 16, 1, 1, dc_c, ac_c),
                 (_quantized_zigzag(crp, qc), pw // 16, 1, 1, dc_c, ac_c),
             ]

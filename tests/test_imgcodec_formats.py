@@ -614,6 +614,29 @@ def test_jpeg_restart_markers_roundtrip():
     assert np.array_equal(out, plain)
 
 
+def test_jpeg_422_subsampling_roundtrip():
+    """4:2:2 (16x8 MCU, half-width chroma — the classic scanner/video
+    layout) exercises the decoder's horizontal-only upsampling path
+    with real streams (cross-validated against Java ImageIO at
+    creation); luma survives, file is smaller than 4:4:4."""
+    for shape in ((64, 80), (50, 66), (37, 53)):
+        img = _test_image_rgb(*shape)
+        data = jpeg_encode(img, quality=92, subsampling="422")
+        out = jpeg_decode(data)
+        assert out.shape == img.shape
+
+        def luma(a):
+            return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+        assert _psnr(luma(img), luma(out)) > 28.0
+        assert len(data) < len(jpeg_encode(img, quality=92, subsampling="444"))
+    # non-interleaved variant decodes identically
+    img = _test_image_rgb(48, 66)
+    a = jpeg_decode(jpeg_encode(img, quality=92, subsampling="422"))
+    b = jpeg_decode(jpeg_encode(img, quality=92, subsampling="422", interleaved=False))
+    assert np.array_equal(a, b)
+
+
 def test_jpeg_420_gray_is_identity_option():
     """subsampling flag is a no-op for grayscale input."""
     img = _test_image_gray(24, 24)
