@@ -19,8 +19,12 @@ and cluster sizes.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def normalize(col):
@@ -106,6 +110,16 @@ def jaccard_pairs(
     sh = char_shingles(df, id_col, text_col, k)
     if max_doc_freq_frac == "auto":
         if n_docs is not None and n_docs >= AUTO_GUARD_MIN_DOCS:
+            # the semantic switch (exact -> stop-shingle approximation)
+            # must be observable at run time, not only in the docstring
+            _log.warning(
+                "jaccard_pairs: stop-shingle guard auto-engaged "
+                "(n_docs=%d >= %d): shingles in > %.0f%% of docs dropped "
+                "before the self-join; Jaccard is now computed over the "
+                "informative shingle set (pass max_doc_freq_frac=None "
+                "to force exact semantics)",
+                n_docs, AUTO_GUARD_MIN_DOCS, AUTO_GUARD_MAX_DOC_FREQ_FRAC * 100,
+            )
             sh = drop_hot_shingles(sh, n_docs, AUTO_GUARD_MAX_DOC_FREQ_FRAC)
     elif max_doc_freq_frac is not None:
         if n_docs is None:

@@ -622,7 +622,15 @@ def _tiff_decode_bilevel(data: bytes, fields, w: int, h: int, comp: int) -> np.n
                 parts.append(g3_decode(strip, w, n_rows, two_d=bool(t4opts & 1)))
             else:
                 parts.append(g4_decode(strip, w, n_rows))
-        white = np.concatenate(parts)  # 1 = white, independent of photometric
+        white = np.concatenate(parts)  # 1 = fax-white
+        # fax streams code runs of "white" pixels; the photometric tag
+        # says what "white" means in the image: 0 (WhiteIsZero, the
+        # normal fax convention) -> fax-white displays as 255, while a
+        # legal-if-rare photometric=1 (BlackIsZero) fax TIFF is inverted
+        # (libtiff/Java ImageIO behavior, mirrored by the uncompressed
+        # bilevel path below)
+        if photometric == 1:
+            return np.where(white == 1, 0, 255).astype(np.uint8)
         return np.where(white == 1, 255, 0).astype(np.uint8)
     if comp == 1:
         stride = (w + 7) // 8

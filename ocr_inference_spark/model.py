@@ -118,7 +118,8 @@ class RecognitionSession:
 _SESSION_CACHE: dict[str, RecognitionSession] = {}
 # id(blob) -> (blob, digest): the broadcast value is a stable object per
 # worker, so the digest of a multi-MB blob is computed once per process
-# instead of once per Arrow batch. Capped to the 2 most recent blobs —
+# instead of once per Arrow batch. Capped to the 2 most RECENTLY USED
+# blobs (LRU — hits re-insert, so alternating live blobs stay cached) —
 # a long-lived executor that sees a fresh broadcast per job must not
 # pin every multi-MB weight blob it ever decoded (id() keys are only
 # meaningful while the blob object is alive, so entries for dead blobs
@@ -138,6 +139,10 @@ def get_session(weight_blob: bytes) -> RecognitionSession:
     cached = _DIGEST_CACHE.get(id(weight_blob))
     if cached is not None and cached[0] is weight_blob:
         key = cached[1]
+        # LRU, not FIFO: re-insert on hit so 3+ live blobs alternating
+        # per batch cannot evict the hottest entry every round
+        _DIGEST_CACHE.pop(id(weight_blob))
+        _DIGEST_CACHE[id(weight_blob)] = cached
     else:
         key = hashlib.md5(weight_blob).hexdigest()
         while len(_DIGEST_CACHE) >= _DIGEST_CACHE_MAX:

@@ -1047,14 +1047,15 @@ def q34_detect_lines(spark, sf_dir):
 
 
 def _q34_oracle() -> str:
-    # closed-form page geometry from the renderer's own constants: the
-    # SQL must stay in lockstep with render.render_page (margin=48,
-    # spacing=56, CAPTION_GAP) + the spec line pool's glyph widths
+    # closed-form page geometry from the renderer's own constants
+    # (PAGE_MARGIN/LINE_SPACING/CAPTION_GAP, all imported — no literals
+    # that could silently diverge from render.render_page) + the spec
+    # line pool's glyph widths
     from .glyphs import BAND_H, encode_text, line_pixel_width
     from .layout import _SPEC_LINE_POOL
-    from .render import CAPTION_GAP
+    from .render import CAPTION_GAP, LINE_SPACING, PAGE_MARGIN
 
-    margin, spacing = 48, 56
+    margin, spacing = PAGE_MARGIN, LINE_SPACING
     pool_w = [line_pixel_width(len(encode_text(t))) for t in _SPEC_LINE_POOL]
     width_for = [max(pool_w[:n]) + 2 * margin for n in (1, 2, 3)]
     cap_extra = CAPTION_GAP + BAND_H

@@ -36,6 +36,12 @@ from .kernels.dewarp import apply_column_shift
 INK = 25
 PAPER = 235
 
+# page-geometry defaults for render_page — importable (queries._q34_oracle
+# derives closed-form page dimensions from these; keeping them named
+# means a renderer change cannot silently diverge the oracle SQL)
+PAGE_MARGIN = 48
+LINE_SPACING = 56
+
 
 def render_line_band(text: str) -> np.ndarray:
     """Text -> (BAND_H, width) ink bitmap {0,1}."""
@@ -56,8 +62,8 @@ CAPTION_GAP = 320  # far enough below the block that the text-area
 
 def render_page(
     lines: list[str],
-    margin: int = 48,
-    spacing: int = 56,
+    margin: int = PAGE_MARGIN,
+    spacing: int = LINE_SPACING,
     skew_deg: float = 0.0,
     warp_amp: int = 0,
     warp_period: int | None = None,

@@ -299,9 +299,12 @@ def train_ivf_centroids(
     n_rows: int | None = None,
 ) -> "np.ndarray":
     """Spherical k-means on a DETERMINISTIC sample (the ``sample`` rows
-    with the smallest xxhash64 of the id — stable across runs and
-    cluster sizes), driver side. Returns (n_cells, dim) unit-norm
-    centroids. The sample is a bounded driver pull (default 4096 rows).
+    with the smallest (xxhash64 of the id, id) — the id tiebreaker makes
+    the selected row set strictly deterministic even if two ids collide
+    at the limit-boundary hash value, so identity across runs and
+    cluster sizes is guaranteed, not merely overwhelming-probability),
+    driver side. Returns (n_cells, dim) unit-norm centroids. The sample
+    is a bounded driver pull (default 4096 rows).
 
     When ``n_rows`` is known (e.g. from parquet footer metadata — see
     queries._parquet_row_count), a hash-VALUE threshold predicate is
@@ -324,11 +327,16 @@ def train_ivf_centroids(
     if n_rows is not None and n_rows > 4 * sample:
         frac = 4.0 * sample / n_rows
         thresh = int(-(2**63) + frac * 2**64)
-        pdf = hashed.where(F.col("h") < F.lit(thresh)).orderBy("h").limit(sample).toPandas()
+        pdf = (
+            hashed.where(F.col("h") < F.lit(thresh))
+            .orderBy("h", "id")
+            .limit(sample)
+            .toPandas()
+        )
         if len(pdf) < min(sample, n_rows):
             pdf = None  # shortfall: fall back to the exact unfiltered pull
     if pdf is None:
-        pdf = hashed.orderBy("h").limit(sample).toPandas()
+        pdf = hashed.orderBy("h", "id").limit(sample).toPandas()
     X = np.array(pdf["v"].tolist(), dtype=np.float64)
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]

@@ -739,3 +739,19 @@ def test_decode_image_bitflip_garbage_terminates():
         assert out.dtype == np.uint8
     except Exception:
         pass  # raising is fine; hanging is not (pytest timeout guards)
+
+
+def test_tiff_fax_photometric_blackiszero_inverts():
+    """A fax TIFF tagged photometric=1 (BlackIsZero) is legal if rare;
+    libtiff/Java ImageIO decode it inverted relative to the normal
+    WhiteIsZero fax convention, and so must we (ADVICE r4)."""
+    img = np.where(_bilevel_pattern(40, 72) == 1, 255, 0).astype(np.uint8)
+    data = tiff_encode(img, compression="g4")
+    # flip the photometric IFD entry value 0 -> 1 (tag 262, SHORT, count 1)
+    entry0 = bytes.fromhex("060103000100000000000000")
+    entry1 = bytes.fromhex("060103000100000001000000")
+    assert data.count(entry0) == 1
+    flipped = data.replace(entry0, entry1)
+    assert np.array_equal(tiff_decode(flipped), 255 - img)
+    # and the unflipped container still decodes upright
+    assert np.array_equal(tiff_decode(data), img)
