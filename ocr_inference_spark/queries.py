@@ -762,9 +762,15 @@ FROM events GROUP BY 1, 2
 
 def q30_ocr_extract_spans(spark, sf_dir):
     """Flagship: full OCR span extraction over a synthesized interleaved
-    corpus seeded by the documents table (no SQL oracle — kernel
-    semantics are not SQL-expressible; driver records rows-only, exact
-    span equality is covered by tests/test_synth.py)."""
+    corpus seeded by the documents table — ORACLE-BACKED (the q31/q34
+    recipe): the synth corpus derives every page's line texts from the
+    documents table by a SQL-expressible rule (synth.page_lines_for),
+    and the OCR kernel decodes pages exactly (the span-equality
+    invariant, tests/test_synth.py + the 10k-page sweep), so DuckDB can
+    emit the expected ordered (kind, text, media_ref, offset) span rows
+    relationally while Spark must render, decode, detect, order,
+    recognize, and reassemble to match (reference ordered-span
+    invariant: BDRC/exporter.py:296-320)."""
     from .pipeline import extract_spans
     from .synth import synth_corpus
 
@@ -780,6 +786,48 @@ def q30_ocr_extract_spans(spark, sf_dir):
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
+
+
+def _q30_oracle() -> str:
+    """Expected span rows for the flagship, straight from the documents
+    table: per doc (doc_id < 48, one page, three lines) the output is
+    [head text span, media span, three derived line spans] with densely
+    renumbered offsets — the synth construction (synth.synth_corpus) and
+    the reassembly sort-key semantics (pipeline.reassemble_spans) in one
+    SQL statement. Line texts follow synth.page_lines_for (charset-
+    clean, 28-char windows, 'line i' fallback); the head span follows
+    the synth head_text rule. Hash-equality here proves the FULL
+    render -> decode -> detect -> order -> recognize -> reassemble
+    pipeline reproduced every character and every span position."""
+    from .glyphs import CHARSET
+    from .synth import page_lines_for  # noqa: F401 (provenance)
+
+    width = 28
+    cls = CHARSET.replace("-", "\\-").replace("'", "''")
+    seg = f"trim(substring(cleaned, i * {width} + 1, {width}))"
+    line_text = f"CASE WHEN {seg} = '' THEN 'line ' || i ELSE {seg} END"
+    return f"""
+WITH src AS (
+  SELECT doc_id AS src_id,
+    substring(lower(regexp_replace(text, '[^a-z0-9 .,''\\-]', ' ', 'g')), 1, 40)
+      AS head_text,
+    lower(regexp_replace(lower(text), '[^{cls}]', ' ', 'g')) AS cleaned
+  FROM documents WHERE doc_id < 48
+),
+ln AS (
+  SELECT src_id, i, {line_text} AS line_text
+  FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+)
+SELECT printf('doc_%08d', src_id) AS doc_id, 'text' AS kind,
+       head_text AS text, CAST(NULL AS VARCHAR) AS media_ref,
+       CAST(0 AS INTEGER) AS "offset" FROM src
+UNION ALL
+SELECT printf('doc_%08d', src_id), 'media', NULL,
+       printf('page_%08d_%02d', src_id, 0), CAST(1 AS INTEGER) FROM src
+UNION ALL
+SELECT printf('doc_%08d', src_id), 'text', line_text,
+       printf('page_%08d_%02d', src_id, 0), CAST(2 + i AS INTEGER) FROM ln
+"""
 
 
 def q31_ocr_line_metrics(spark, sf_dir):
@@ -1149,6 +1197,7 @@ ORACLES = {
     "q26_simhash_pairs": ORACLE_Q26,
     "q27_ann_cosine_topk": ORACLE_Q27,
     "q29_tumbling_window": ORACLE_Q29,
+    "q30_ocr_extract_spans": _q30_oracle(),
     "q31_ocr_line_metrics": _q31_oracle(),
     "q32_cer": ORACLE_Q32,
     "q33_encoding_roundtrip": ORACLE_Q33,
@@ -1157,6 +1206,6 @@ ORACLES = {
     "q37_dup_clusters": ORACLE_Q37,
     "q38_layout_regions": ORACLE_Q38,
     "q39_training_selection": ORACLE_Q39,
-    # q28/q30/q36/q40: intentionally no oracle (approximate-by-design
+    # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
