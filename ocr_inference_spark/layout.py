@@ -182,19 +182,29 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
 
     def kernel(batches):
         from .imgcodec import png_encode, tiff_encode
+        from .jpegcodec import jpeg_encode, jpeg_encode_progressive
         from .render import render_page
 
-        # rotate LOSSLESS container formats per doc so the driver's own
+        # rotate container formats per doc so the driver's own
         # correctness gate (q34/q38 vs the DuckDB spec oracle) exercises
-        # the real ingestion codecs, not just PNG — bit-exact formats
-        # only, so the rendered geometry the oracle predicts is
-        # untouched (JPEG stays in the pytest sweeps)
+        # the real ingestion codecs, not just PNG. The lossless slots
+        # are GEOMETRY-exact (G4 rethresholds {25,235} -> {0,255}, which
+        # shifts the adaptive-binarization operating point but not the
+        # detected geometry); the two JPEG slots (baseline q95 +
+        # progressive q95 — the hardest decoder in the repo) are lossy
+        # but provably quantization-invariant for spec pages: worst-case
+        # pixel error is < 20 levels against a 210-level ink/paper
+        # separation, so binarize recovers the identical mask
+        # (tests/test_layout.py::test_jpeg_slots_geometry_invariant
+        # pins region equality across every spec shape)
         encoders = [
             png_encode,
             lambda im: tiff_encode(im, compression="g4"),
             lambda im: tiff_encode(im, compression="lzw", predictor=2),
             lambda im: tiff_encode(im, compression="deflate", predictor=2),
             lambda im: tiff_encode(im, compression="packbits"),
+            lambda im: jpeg_encode(im, quality=95),
+            lambda im: jpeg_encode_progressive(im, quality=95),
         ]
         for pdf in batches:
             rows = {k: [] for k in ("media_ref", "content", "width", "height")}
@@ -207,7 +217,7 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
                     noise=bool(noise),
                 )
                 rows["media_ref"].append(str(doc_id))
-                rows["content"].append(encoders[int(doc_id) % 5](img))
+                rows["content"].append(encoders[int(doc_id) % len(encoders)](img))
                 rows["width"].append(int(img.shape[1]))
                 rows["height"].append(int(img.shape[0]))
             yield pd.DataFrame(rows)

@@ -83,3 +83,44 @@ def test_furniture_geometry_has_classifier_slack():
     assert p.y + p.h > h_img - 0.8 * (1 - L.PAGENR_MIN_Y_FRAC) * h_img
     assert p.w < 0.8 * L.PAGENR_MAX_W_FRAC * w_img
     assert (p.h - 2 * V_RADIUS) < 0.8 * L.PAGENR_MAX_H_FRAC_W * w_img
+
+
+def test_jpeg_slots_geometry_invariant():
+    """The two lossy driver-gate rotation slots (baseline q95 and
+    progressive q95 JPEG) must recover the IDENTICAL region inventory
+    as lossless PNG for every spec page shape, and the worst-case
+    pixel error must sit far inside the ink/paper margin — the
+    quantization-invariance proof that lets JPEG join the q34/q38
+    hash-green rotation."""
+    import itertools
+
+    import numpy as np
+
+    import ocr_inference_spark.layout as L
+    from ocr_inference_spark.imgcodec import decode_image
+    from ocr_inference_spark.jpegcodec import jpeg_encode, jpeg_encode_progressive
+    from ocr_inference_spark.kernels.binarize import binarize, to_gray
+    from ocr_inference_spark.page import _detect
+    from ocr_inference_spark.render import INK, PAPER
+
+    def regions(content):
+        ink = binarize(to_gray(decode_image(content)))
+        mask, comps = _detect(ink)
+        return sorted(
+            (cls, c.x, c.y, c.w, c.h)
+            for cls, c in L.classify_regions(comps, mask.shape, ink.shape[1])
+        )
+
+    sep = PAPER - INK  # 210 levels of ink/paper separation
+    worst = 0
+    for n_lines, caption, noise in itertools.product((1, 2, 3), (False, True), (False, True)):
+        img = render_page(list(L._SPEC_LINE_POOL[:n_lines]), caption=caption, noise=noise)
+        ref = regions(png_encode(img))
+        for enc in (lambda im: jpeg_encode(im, quality=95),
+                    lambda im: jpeg_encode_progressive(im, quality=95)):
+            blob = enc(img)
+            worst = max(worst, int(np.abs(
+                decode_image(blob).astype(int) - img.astype(int)).max()))
+            assert regions(blob) == ref
+    # worst-case block: error must stay under a quarter of the margin
+    assert worst < sep // 4, worst
