@@ -1125,6 +1125,91 @@ FROM spec
 """
 
 
+def q41_audio_wav_metrics(spark, sf_dir):
+    """Multimodal audio under the hard gate (the q34/q38 recipe): per
+    doc a REAL RIFF/WAVE container is built executor-side from a
+    deterministic PCM ramp, then decoded back by the real WAV parser —
+    every acoustic feature (duration, rms, peak, zero crossings) is
+    closed-form in SQL, so DuckDB computes them from the ramp rule while
+    Spark must encode + decode actual containers to match."""
+    from .multimodal import audio_features, synth_wav_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_wav_corpus(spark, docs, n_docs=32)
+    return audio_features(media).select(
+        "media_ref",
+        "n_samples",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "zero_crossings",
+        "status",
+    )
+
+
+ORACLE_Q41 = """
+WITH src AS (SELECT doc_id FROM documents WHERE doc_id < 32),
+samp AS (
+  SELECT doc_id, i, ((doc_id * 7919 + i * 31) % 20001 - 10000) AS v
+  FROM src CROSS JOIN (SELECT unnest(range(1320)) AS i) g
+  WHERE i < 1000 + 10 * doc_id
+)
+SELECT printf('wav_%08d', s.doc_id) AS media_ref,
+  CAST(1000 + 10 * s.doc_id AS BIGINT) AS n_samples,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  round((1000 + 10 * s.doc_id) / 8000.0, 6) AS duration_s,
+  round(sqrt(avg((s.v / 32768.0) * (s.v / 32768.0))), 6) AS rms,
+  round(max(abs(s.v / 32768.0)), 6) AS peak,
+  CAST(sum(CASE WHEN s.prev IS NOT NULL AND (s.v < 0) <> (s.prev < 0)
+      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+  'success' AS status
+FROM (
+  SELECT doc_id, i, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM samp
+) s
+GROUP BY s.doc_id
+"""
+
+
+def q42_video_mjpeg_frames(spark, sf_dir):
+    """Multimodal video under the hard gate: per layout-spec row a REAL
+    MJPEG-in-AVI container is built executor-side (frame j = the
+    single-line spec page for pool line j), then frame-sampled by the
+    real RIFF/AVI walker + JPEG decoder — frame inventory and pixel
+    dimensions are closed-form from the md5 spec (the q34 geometry)."""
+    from .layout import layout_spec
+    from .multimodal import sample_video_frames, synth_mjpeg_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_mjpeg_corpus(spark, layout_spec(docs, n_docs=24))
+    return sample_video_frames(media, every_nth=2).select(
+        "media_ref", "frame_idx", "width", "height", "status"
+    )
+
+
+def _q42_oracle() -> str:
+    from .glyphs import BAND_H, encode_text, line_pixel_width
+    from .layout import _SPEC_LINE_POOL
+    from .render import PAGE_MARGIN
+
+    pool_w = [line_pixel_width(len(encode_text(t))) for t in _SPEC_LINE_POOL]
+    w0, w2 = pool_w[0] + 2 * PAGE_MARGIN, pool_w[2] + 2 * PAGE_MARGIN
+    height = 2 * PAGE_MARGIN + BAND_H
+    return f"""
+WITH spec AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_lines
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+)
+SELECT printf('avi_%08d', doc_id) AS media_ref, CAST(i AS INTEGER) AS frame_idx,
+  CAST(CASE i WHEN 0 THEN {w0} ELSE {w2} END AS INTEGER) AS width,
+  CAST({height} AS INTEGER) AS height, 'success' AS status
+FROM spec CROSS JOIN (SELECT unnest([0, 2]) AS i) g
+WHERE i < n_lines
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1166,6 +1251,8 @@ QUERIES = {
     "q38_layout_regions": q38_layout_regions,
     "q39_training_selection": q39_training_selection,
     "q40_ann_ivf_topk": q40_ann_ivf_topk,
+    "q41_audio_wav_metrics": q41_audio_wav_metrics,
+    "q42_video_mjpeg_frames": q42_video_mjpeg_frames,
 }
 
 ORACLES = {
@@ -1206,6 +1293,8 @@ ORACLES = {
     "q37_dup_clusters": ORACLE_Q37,
     "q38_layout_regions": ORACLE_Q38,
     "q39_training_selection": ORACLE_Q39,
+    "q41_audio_wav_metrics": ORACLE_Q41,
+    "q42_video_mjpeg_frames": _q42_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -77,3 +77,140 @@ def test_video_frames_feed_ocr(media_df, spark):
     res = process_page(bytes(frame["frame_png"]), sess)
     assert res.status == "success"
     assert res.texts == ["frame 0"]
+
+
+# ------------------------------------------------------- real RIFF codecs
+
+
+def test_wav_roundtrip_all_depths():
+    from ocr_inference_spark.multimodal import wav_decode, wav_encode
+
+    rng = np.random.default_rng(7)
+    t = np.arange(8000) / 16000.0
+    x = np.clip(
+        0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(8000), -1, 1
+    )
+    # integer PCM: encode scales by 2^(b-1)-1, decode divides by 2^(b-1)
+    # -> worst-case error 1.5 quantization steps
+    for bits, tol in ((8, 1.5 / 128), (16, 1.5 / 32768), (24, 1.5 / 2**23),
+                      (32, 1.5 / 2**31), (-32, 1e-7)):
+        y, rate = wav_decode(wav_encode(x, 16000, bits=bits))
+        assert rate == 16000 and len(y) == len(x)
+        assert float(np.abs(y - x).max()) < tol, bits
+
+
+def test_wav_stereo_downmix_and_extensible():
+    import struct
+
+    from ocr_inference_spark.multimodal import wav_decode, wav_encode
+
+    t = np.arange(4000) / 8000.0
+    x = 0.4 * np.sin(2 * np.pi * 220 * t)
+    # opposite-phase stereo must downmix to ~silence
+    y, rate = wav_decode(wav_encode(np.stack([x, -x], axis=1), 8000, bits=16))
+    assert rate == 8000 and float(np.abs(y).max()) < 1e-4
+    # WAVE_FORMAT_EXTENSIBLE: real format code lives in the SubFormat GUID
+    blob = wav_encode(x, 8000, bits=16)
+    assert blob[12:16] == b"fmt "
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 4)
+        + struct.pack("<H", 1)
+        + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    patched = bytearray(
+        blob[:12] + b"fmt " + struct.pack("<I", len(ext)) + ext + blob[36:]
+    )
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    assert np.array_equal(wav_decode(bytes(patched))[0], wav_decode(blob)[0])
+
+
+def test_wav_java_audiosystem_fixtures():
+    """Decode WAVs written by Java's javax.sound.sampled (the interop
+    oracle this repo uses for codecs) and recompute the known PCM."""
+    from pathlib import Path
+
+    from ocr_inference_spark.multimodal import decode_audio
+
+    data = Path(__file__).parent / "data"
+    y, rate = decode_audio((data / "java_pcm16_mono_8k.wav").read_bytes())
+    assert rate == 8000 and len(y) == 1600
+    i = np.arange(1600)
+    v = np.rint(12000.0 * np.sin(2 * np.pi * 997.0 * i / 8000) + 4000.0 * i / 1600)
+    assert np.array_equal(np.asarray(y) * 32768.0, v)
+    # 8-bit unsigned stereo: downmix of the two deterministic ramps
+    y2, rate2 = decode_audio((data / "java_pcm8_stereo_8k.wav").read_bytes())
+    l = ((np.arange(800) * 7) % 256).astype(np.float64)
+    r = (255 - (np.arange(800) * 13) % 256).astype(np.float64)
+    exp = ((l - 128) / 128 + (r - 128) / 128) / 2
+    assert rate2 == 8000 and np.allclose(y2, exp, atol=1e-12)
+
+
+def test_avi_mjpeg_roundtrip_and_ocr():
+    from ocr_inference_spark.model import RecognitionSession, serialize_weights
+    from ocr_inference_spark.multimodal import avi_encode_mjpeg, iter_video_frames
+    from ocr_inference_spark.page import process_page
+
+    texts = ["the quick brown fox", "jumps over the lazy dog", "a spark native engine"]
+    frames = [render_page([t]) for t in texts]
+    avi = avi_encode_mjpeg(frames, fps=10, quality=95)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    dec = list(iter_video_frames(avi))
+    assert [d.shape for d in dec] == [f.shape for f in frames]
+    for d, f in zip(dec, frames):
+        assert int(np.abs(d.astype(int) - f.astype(int)).max()) < 20
+    # MJPEG frames feed the OCR kernel unchanged (q95 is inside the
+    # binarization margin, same invariance the driver-gate JPEG slots pin)
+    sess = RecognitionSession(serialize_weights())
+    for d, t in zip(dec, texts):
+        from ocr_inference_spark.imgcodec import png_encode
+
+        res = process_page(png_encode(d), sess)
+        assert res.status == "success" and res.texts == [t]
+
+
+def test_wav_avi_through_spark_kernels(spark):
+    from ocr_inference_spark.multimodal import avi_encode_mjpeg, wav_encode
+
+    t = np.arange(8000) / 8000.0
+    clip = 0.25 * np.sin(2 * np.pi * 220 * t)
+    frames = [render_page([f"frame {i}"]) for i in range(4)]
+    rows = [
+        Row(media_ref="w1", modality="audio",
+            content=wav_encode(clip, 8000, bits=16), mime="audio/wav", meta={}),
+        Row(media_ref="w2", modality="audio",
+            content=b"RIFF\x10\x00\x00\x00WAVEjunk", mime="audio/wav", meta={}),
+        Row(media_ref="m1", modality="video",
+            content=avi_encode_mjpeg(frames, fps=4), mime="video/x-msvideo",
+            meta={}),
+        Row(media_ref="m2", modality="video",
+            content=b"\x00\x01\x02\x03 not a container", mime="video/mp4", meta={}),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    arows = {r["media_ref"]: r for r in audio_features(df).collect()}
+    assert arows["w1"]["status"] == "success"
+    assert arows["w1"]["n_samples"] == 8000 and arows["w1"]["sample_rate"] == 8000
+    assert 0.15 < arows["w1"]["rms"] < 0.2
+    assert arows["w2"]["status"] == "decode_failed"
+    vrows = sample_video_frames(df, every_nth=2).collect()
+    by_ref = {}
+    for r in vrows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_ref["m1"]) == [0, 2]
+    assert all(r["status"] == "success" for r in by_ref["m1"])
+    assert by_ref["m2"][0]["status"] == "unsupported_codec"
+
+
+def test_wav_truncated_and_garbage_raise_cleanly():
+    import struct as _struct
+
+    from ocr_inference_spark.multimodal import wav_decode, wav_encode
+
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFF")
+    blob = wav_encode(np.zeros(100), 8000)
+    # chop the data chunk out entirely
+    with pytest.raises(ValueError):
+        truncated = bytearray(blob[:36])
+        truncated[4:8] = _struct.pack("<I", len(truncated) - 8)
+        wav_decode(bytes(truncated))
