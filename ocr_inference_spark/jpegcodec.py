@@ -606,9 +606,10 @@ def _decode_prog_dc_scan_fast(data, pos, frame, scan, ah, al, restart_interval, 
     n_units = mcus_x * frame["mcus_y"] if ns > 1 else scan[0]["nbx"] * scan[0]["nby"]
     plans = []
     for st in scan:
-        plans.append(
-            (st, _packed_lut(st["dc"]) if ah == 0 else None, st["coef"][:, 0].tolist())
-        )
+        rows = st.get("rows")
+        if rows is None:
+            rows = st["rows"] = st["coef"].tolist()
+        plans.append((st, _packed_lut(st["dc"]) if ah == 0 else None, rows))
     seg, next_pos = _entropy_segment(data, pos)
     buf = seg
     nlen = len(buf)
@@ -626,7 +627,7 @@ def _decode_prog_dc_scan_fast(data, pos, frame, scan, ah, al, restart_interval, 
                 nbits = 0
                 p = 0
                 preds = [0] * len(scan)
-        for ci, (st, dc_lut, col) in enumerate(plans):
+        for ci, (st, dc_lut, rows) in enumerate(plans):
             if ns > 1:
                 my, mx = divmod(unit, mcus_x)
                 ch, cv = st["h"], st["v"]
@@ -656,7 +657,7 @@ def _decode_prog_dc_scan_fast(data, pos, frame, scan, ah, al, restart_interval, 
                             v += _EXT_SUB[size]
                         preds[ci] += v
                     acc &= _MASKS[nbits]
-                    col[bid] = preds[ci] << al
+                    rows[bid][0] = preds[ci] << al
                 else:
                     if nbits == 0:
                         acc = (acc << 8) | (buf[p] if p < nlen else 0)
@@ -666,24 +667,52 @@ def _decode_prog_dc_scan_fast(data, pos, frame, scan, ah, al, restart_interval, 
                     nbits -= 1
                     acc &= _MASKS[nbits]
                     if bit:
-                        col[bid] |= 1 << al
-    for st, _lut, col in plans:
-        st["coef"][:, 0] = col
+                        rows[bid][0] |= 1 << al
+    for st, _lut, _rows in plans:
         st["pred"] = 0
     return next_pos
 
 
 def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
     """Progressive AC scan (first pass or refinement) with the same
-    local-bit-state/packed-LUT treatment as _decode_scan_fast; the
-    scan's spectral band is snapshotted to Python ints once and written
-    back once (semantics identical to _decode_ac_first/_decode_ac_refine
-    — T.81 G.1.2.2/G.1.2.3)."""
+    local-bit-state/packed-LUT treatment as _decode_scan_fast, operating
+    IN PLACE on the persistent Python coefficient rows (``st["rows"]``,
+    converted from the numpy grid once per image, back once at
+    reconstruct — no per-scan tolist/array roundtrip). First passes
+    append each written position to a per-block nonzero list; the
+    refinement walk then touches only those positions (plus its own
+    insort-ed insertions), so a unit inside a long EOB run over a flat
+    block costs O(nnz)=O(0) instead of O(63) Python steps, with
+    bit-consumption order identical to the positional walk (semantics
+    per T.81 G.1.2.2/G.1.2.3)."""
+    from bisect import bisect_left, insort
+
     nbx, nby, bw = st["nbx"], st["nby"], st["bw"]
     n_units = nbx * nby
     ac_lut = _packed_lut(st["ac"])
-    nb = se - ss + 1
-    band_rows = st["coef"][:, ss : se + 1].tolist()
+    rows = st.get("rows")
+    if rows is None:
+        rows = st["rows"] = st["coef"].tolist()
+    nzl = st.get("nzl")
+    if nzl is None:
+        # positions are appended in increasing order inside one first
+        # scan; monotonically increasing band starts across scans keep
+        # every per-block list globally sorted (tracked via nzl_hi) —
+        # an out-of-order scan script flips nzl_dirty and refinement
+        # sorts once
+        nzl = st["nzl"] = [[] for _ in range(len(rows))]
+        st["nzl_hi"] = -1
+        st["nzl_dirty"] = False
+    refine = ah != 0
+    send = se + 1  # absolute band end, exclusive
+    if not refine:
+        if ss <= st["nzl_hi"]:
+            st["nzl_dirty"] = True
+        st["nzl_hi"] = max(st["nzl_hi"], se)
+    elif st["nzl_dirty"]:
+        for lst in nzl:
+            lst.sort()
+        st["nzl_dirty"] = False
     seg, next_pos = _entropy_segment(data, pos)
     buf = seg
     nlen = len(buf)
@@ -693,7 +722,6 @@ def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
     eobrun = 0
     p1 = 1 << al
     m1 = -1 << al
-    refine = ah != 0
     for unit in range(n_units):
         if restart_interval and unit and unit % restart_interval == 0:
             if next_pos + 1 < len(data) and 0xD0 <= data[next_pos + 1] <= 0xD7:
@@ -705,13 +733,15 @@ def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
                 p = 0
                 eobrun = 0
         my, mx = divmod(unit, nbx)
-        blk = band_rows[my * bw + mx]
-        k = 0
+        bid = my * bw + mx
+        blk = rows[bid]
+        k = ss
         if not refine:
             if eobrun > 0:
                 eobrun -= 1
                 continue
-            while k < nb:
+            nz = nzl[bid]
+            while k < send:
                 while nbits < 32:
                     acc = (acc << 8) | (buf[p] if p < nlen else 0)
                     p += 1
@@ -734,7 +764,7 @@ def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
                     acc &= _MASKS[nbits]
                     break
                 k += r
-                if k >= nb:
+                if k >= send:
                     raise ValueError("AC run overflows band")
                 v = (acc >> (nbits - s)) & _MASKS[s]
                 nbits -= s
@@ -742,11 +772,14 @@ def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
                 if v < _EXT_HALF[s]:
                     v += _EXT_SUB[s]
                 blk[k] = v << al
+                nz.append(k)
                 k += 1
             continue
-        # refinement scan
+        # refinement scan — positional semantics of the T.81 G.1.2.3
+        # walk, executed over the block's sorted nonzero-index list
+        nz = nzl[bid]
         if eobrun == 0:
-            while k < nb:
+            while k < send:
                 while nbits < 32:
                     acc = (acc << 8) | (buf[p] if p < nlen else 0)
                     p += 1
@@ -777,30 +810,28 @@ def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
                     val = p1 if (acc >> (nbits - 1)) & 1 else m1
                     nbits -= 1
                     acc &= _MASKS[nbits]
-                while k < nb:
-                    c = blk[k]
-                    if c != 0:
-                        if nbits == 0:
-                            acc = (acc << 8) | (buf[p] if p < nlen else 0)
-                            p += 1
-                            nbits = 8
-                        bit = (acc >> (nbits - 1)) & 1
-                        nbits -= 1
-                        acc &= _MASKS[nbits]
-                        if bit and (c & p1) == 0:
-                            blk[k] = c + (p1 if c >= 0 else m1)
-                    else:
-                        if r == 0:
-                            break
-                        r -= 1
-                    k += 1
-                if val != 0 and k < nb:
-                    blk[k] = val
-                k += 1
-        if eobrun > 0:
-            while k < nb:
-                c = blk[k]
-                if c != 0:
+                # walk: r zero-history positions are skipped, each
+                # intervening nonzero consumes one correction bit; the
+                # new value lands on the (r+1)-th zero
+                i = bisect_left(nz, k)
+                n_nz = len(nz)
+                while True:
+                    nzk = nz[i] if i < n_nz else send
+                    if nzk >= send:
+                        nzk = send  # nonzeros beyond se are other bands'
+                    gap = nzk - k  # positions k..nzk-1 are zeros
+                    if r < gap:
+                        k += r
+                        if val != 0 and k < send:
+                            blk[k] = val
+                            insort(nz, k)
+                        k += 1
+                        break
+                    r -= gap
+                    if nzk >= send:
+                        k = send + 1  # ran off the band; val is dropped
+                        break
+                    c = blk[nzk]
                     if nbits == 0:
                         acc = (acc << 8) | (buf[p] if p < nlen else 0)
                         p += 1
@@ -809,10 +840,27 @@ def _decode_prog_ac_scan_fast(data, pos, st, ss, se, ah, al, restart_interval):
                     nbits -= 1
                     acc &= _MASKS[nbits]
                     if bit and (c & p1) == 0:
-                        blk[k] = c + (p1 if c >= 0 else m1)
-                k += 1
+                        blk[nzk] = c + (p1 if c >= 0 else m1)
+                    k = nzk + 1
+                    i += 1
+        if eobrun > 0:
+            i = bisect_left(nz, k)
+            while i < len(nz):
+                nzk = nz[i]
+                if nzk >= send:
+                    break
+                c = blk[nzk]
+                if nbits == 0:
+                    acc = (acc << 8) | (buf[p] if p < nlen else 0)
+                    p += 1
+                    nbits = 8
+                bit = (acc >> (nbits - 1)) & 1
+                nbits -= 1
+                acc &= _MASKS[nbits]
+                if bit and (c & p1) == 0:
+                    blk[nzk] = c + (p1 if c >= 0 else m1)
+                i += 1
             eobrun -= 1
-    st["coef"][:, ss : se + 1] = np.array(band_rows, dtype=np.int32)
     return next_pos
 
 
@@ -823,7 +871,12 @@ def _reconstruct(frame, order, qtables):
     planes = []
     for st in order:
         q = qtables[st["tq"]][UNZIGZAG].reshape(8, 8)
-        coefs = st["coef"][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        # progressive scans accumulate into Python-list rows (one
+        # tolist at first scan, one array here); sequential scans
+        # scatter straight into the numpy grid
+        prog_rows = st.get("rows")
+        coef = np.array(prog_rows, dtype=np.int32) if prog_rows is not None else st["coef"]
+        coefs = coef[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
         coefs *= q[None, :, :]
         spatial = _idct_blocks(coefs) + 128.0
         bh, bw = st["bh"], st["bw"]
