@@ -236,3 +236,45 @@ def test_ivf_centroids_filtered_sample_identical(spark):
     full = train_ivf_centroids(corpus, n_cells=8, sample=64)
     filtered = train_ivf_centroids(corpus, n_cells=8, sample=64, n_rows=n)
     assert np.array_equal(full, filtered)
+
+
+def test_dup_clusters_star_matches_propagation(spark):
+    """algorithm='star' (large-star/small-star, O(log n) rounds) must
+    produce the exact (id, cluster_id) labeling of the propagation path
+    on a mixed graph: chain + triangle + isolated edge."""
+    import random
+
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.dedup import dup_clusters
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(20, 28)]        # 8-hop chain
+    edges += [(1, 2), (2, 3), (3, 1), (40, 41)]        # triangle + pair
+    edges += [(rng.randrange(100, 140), rng.randrange(100, 140)) for _ in range(30)]
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges if a != b])
+    prop = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, algorithm="star").collect()
+    }
+    assert star == prop
+
+
+def test_dup_clusters_star_logn_on_long_chain(spark):
+    """An 80-hop duplicate chain: propagation needs ~80 rounds (raises
+    at max_iters=10), star contraction converges within 10 — the
+    published O(log n) bound this path exists for."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(80)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=10)
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, max_iters=10, algorithm="star").collect()
+    }
+    assert out == {i: 0 for i in range(81)}
+
