@@ -1,5 +1,7 @@
 """Multimodal binary-column plumbing: audio features and video frame
-sampling via mapInPandas, with stubbed codecs failing soft."""
+sampling via mapInPandas — real RIFF/WAVE + MJPEG-AVI codecs (incl.
+Java AudioSystem interop fixtures), with the remaining perceptual /
+inter-frame codec boundaries failing soft."""
 
 from __future__ import annotations
 
