@@ -8,7 +8,7 @@ caption furniture the pipeline must strip). ``queries()`` /
 training-data operators (dedup incl. LSH blocking and duplicate-cluster
 canonicalization, ANN similarity via LSH and IVF, text analysis, layout
 classes, multimodal WAV/MJPEG-AVI decode, composite training-set
-selection) — 42 queries, 39 with DuckDB oracles (the remaining 3 are
+selection, a Structured-Streaming rollup) — 43 queries, 40 with DuckDB oracles (the remaining 3 are
 approximate-by-design ANN/LSH paths, recall pinned by pytest); see
 ocr_inference_spark/queries.py for the implementations and
 the column-aliasing / decimal-sum conventions that keep the Spark and

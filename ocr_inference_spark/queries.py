@@ -1210,6 +1210,18 @@ WHERE i < n_lines
 """
 
 
+def q43_stream_hourly_rollup(spark, sf_dir):
+    """Structured Streaming under the hard gate: the q29 hourly rollup
+    run as a REAL readStream -> windowed agg -> writeStream job
+    (availableNow trigger, complete mode, memory sink) whose final
+    table must hash-equal the batch DuckDB oracle — proving the
+    streaming execution path (file source, state store, complete-mode
+    emission) computes the identical answer to the relational plan."""
+    from .streaming import streaming_hourly_rollup
+
+    return streaming_hourly_rollup(spark, sf_dir)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1253,6 +1265,7 @@ QUERIES = {
     "q40_ann_ivf_topk": q40_ann_ivf_topk,
     "q41_audio_wav_metrics": q41_audio_wav_metrics,
     "q42_video_mjpeg_frames": q42_video_mjpeg_frames,
+    "q43_stream_hourly_rollup": q43_stream_hourly_rollup,
 }
 
 ORACLES = {
@@ -1295,6 +1308,7 @@ ORACLES = {
     "q39_training_selection": ORACLE_Q39,
     "q41_audio_wav_metrics": ORACLE_Q41,
     "q42_video_mjpeg_frames": _q42_oracle(),
+    "q43_stream_hourly_rollup": ORACLE_Q29,  # same rollup, streaming engine
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -234,7 +234,7 @@ def test_streaming_dedup_ttl_evicts_state(spark, tmp_path):
             .start()
         )
 
-    def wait_sink(want_ids, timeout=120):
+    def wait_sink(want_ids, timeout=300):
         deadline = time.time() + timeout
         while time.time() < deadline:
             if sink_ids(out_path) == want_ids:
@@ -254,14 +254,21 @@ def test_streaming_dedup_ttl_evicts_state(spark, tmp_path):
     time.sleep(3)
     q = start_q()
     first = None
-    deadline = time.time() + 120
+    ran_idle = False
+    deadline = time.time() + 300
     while time.time() < deadline:
         p = q.lastProgress
         if p is not None:
             first = first if first is not None else p["batchId"]
             if p["batchId"] >= first + 3:  # several idle batches ran
+                ran_idle = True
                 break
         time.sleep(0.3)
+    # the idle batches are what FIRE the eviction timer — writing the
+    # duplicate before they ran would race the eviction on a stalled
+    # box (this VM stalls for minutes at 0% steal; see BENCH notes)
+    assert ran_idle, "idle batches never ran; cannot assert eviction"
+
     # the duplicate of the now-evicted key must be re-emitted as new
     write_file([(2, "expiring key")])
     wait_sink([1, 2])
@@ -326,3 +333,15 @@ def test_streaming_quality_gate(spark, tmp_path):
         .count()
     )
     assert got == want and got > 0
+
+
+def test_streaming_hourly_rollup_equals_batch(spark):
+    """The availableNow streaming rollup (q43) must equal the batch q29
+    result row-for-row — complete-mode emission is deterministic."""
+    from ocr_inference_spark.queries import q29_tumbling_window
+    from ocr_inference_spark.streaming import streaming_hourly_rollup
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in q29_tumbling_window(spark, sf).collect()}
+    stream = {tuple(r) for r in streaming_hourly_rollup(spark, sf).collect()}
+    assert stream == batch and len(stream) > 0
