@@ -363,15 +363,17 @@ def _dup_clusters_star(
     high-diameter duplicate chains where min-label propagation needs
     O(diameter) rounds. Returns (id, cluster_id) like the propagation
     path."""
-    src = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).where(
-        F.col("a") != F.col("b")
-    )
+    raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # nodes from the UNFILTERED pairs: an id appearing only in a
+    # self-pair (a == b) still names a 1-node component and must surface
+    # in the output exactly as the propagation path surfaces it
     nodes = _materialize(
-        src.select(F.col("a").alias("id"))
-        .unionByName(src.select(F.col("b").alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct(),
         checkpoint_mode,
     )
+    src = raw.where(F.col("a") != F.col("b"))
     e = _materialize(src.distinct(), checkpoint_mode)
     prev_count = e.count()
     converged = False

@@ -59,6 +59,16 @@ _RAWA_MAGIC = b"RAWA"
 _RAWV_MAGIC = b"RAWV"
 
 
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    """RIFF chunk: id + little-endian size + body + word-alignment pad —
+    the ONE place the convention lives (WAV and AVI writers both use it)."""
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
 # ------------------------------------------------------------------ audio
 
 
@@ -103,10 +113,7 @@ def wav_encode(
     fmt = struct.pack(
         "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * block, block, 8 * width
     )
-    chunks = b"".join(
-        cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
-        for cid, body in ((b"fmt ", fmt), (b"data", payload))
-    )
+    chunks = _chunk(b"fmt ", fmt) + _chunk(b"data", payload)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
@@ -246,14 +253,6 @@ def encode_video_fake(frames: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
-def _chunk(cid: bytes, body: bytes) -> bytes:
-    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
-
-
-def _list(kind: bytes, body: bytes) -> bytes:
-    return _chunk(b"LIST", kind + body)
-
-
 def avi_encode_mjpeg(frames: list[np.ndarray], fps: int = 25, quality: int = 90) -> bytes:
     """uint8 frames -> RIFF 'AVI ' with one MJPG video stream: LIST hdrl
     (avih + strl{strh 'vids'/'MJPG', strf BITMAPINFOHEADER}), LIST movi
@@ -349,28 +348,49 @@ def sample_video_frames(media_df: DataFrame, every_nth: int = 2) -> DataFrame:
                 "mean_luma", "frame_png", "status",
             )}
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                # per-media rows commit ATOMICALLY: a clip whose Nth
+                # frame is corrupt yields ONE failure row, never a mix
+                # of success frames and a failure row for the same ref
+                pending: list[tuple] = []
+                status = "success"
                 try:
                     for i, frame in enumerate(iter_video_frames(bytes(content))):
                         if i % every_nth:
                             continue
-                        out["media_ref"].append(ref)
-                        out["frame_idx"].append(i)
-                        out["height"].append(int(frame.shape[0]))
-                        out["width"].append(int(frame.shape[1]))
-                        out["mean_luma"].append(float(frame.mean()))
-                        out["frame_png"].append(png_encode(frame))
-                        out["status"].append("success")
+                        pending.append(
+                            (
+                                i,
+                                int(frame.shape[1]),
+                                int(frame.shape[0]),
+                                float(frame.mean()),
+                                png_encode(frame),
+                            )
+                        )
                 except (NotImplementedError, ValueError, struct.error) as exc:
-                    out["media_ref"].append(ref)
-                    out["frame_idx"].append(-1)
-                    out["height"].append(0)
-                    out["width"].append(0)
-                    out["mean_luma"].append(0.0)
-                    out["frame_png"].append(b"")
-                    out["status"].append(
+                    pending = []
+                    status = (
                         "unsupported_codec"
                         if isinstance(exc, NotImplementedError)
                         else "decode_failed"
+                    )
+                if status == "success" and pending:
+                    for i, w, h, luma, png in pending:
+                        out["media_ref"].append(ref)
+                        out["frame_idx"].append(i)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_luma"].append(luma)
+                        out["frame_png"].append(png)
+                        out["status"].append("success")
+                else:
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(-1)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["mean_luma"].append(0.0)
+                    out["frame_png"].append(b"")
+                    out["status"].append(
+                        status if status != "success" else "empty"
                     )
             yield pd.DataFrame(out)
 

@@ -177,4 +177,10 @@ def streaming_hourly_rollup(spark, sf_dir: str, name: str = "stream_hourly") -> 
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    # detach the result from the memory sink: localCheckpoint pins the
+    # rows in the block manager, then the sink's temp view is dropped —
+    # repeated invocations (bench loops) do not accumulate catalog
+    # entries each holding a full complete-mode copy in driver memory
+    out = spark.table(table).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(table)
+    return out

@@ -5,11 +5,15 @@ sf0.1 testdata, built so every headline query's WORK scales linearly
 - fact/dim tables: 10 replicas with key-shifted PKs/FKs (stride 1e8) —
   join fan-outs and group cardinalities per replica are identical to
   sf0.1, so a linear plan costs exactly 10x;
-- documents: replica i > 0 gets a per-replica letter-substitution
+- documents: replica i > 0 gets a per-replica letter+digit substitution
   cipher. An injective character map transforms each doc's shingle set
   bijectively, so INTRA-replica Jaccard/MinHash/exact-dup structure is
   bit-identical to replica 0 (pair output scales exactly 10x) while
-  CROSS-replica shingles are disjoint (no spurious pair blow-up);
+  CROSS-replica shingles collide only if a 5-gram contains no letter
+  and no digit (pure punctuation/whitespace — absent from this prose
+  corpus), so there is no spurious cross-replica pair blow-up. Digit
+  permutation keeps per-class character COUNTS, so quality-score
+  ratios (punctuation/digit fractions) are preserved;
 - embeddings: replica i > 0 is rotated by a seeded random orthogonal
   matrix. Rotation preserves every intra-replica cosine exactly (pair
   output 10x) and randomizes cross-replica cosines to ~0 (no spurious
@@ -37,13 +41,23 @@ REPLICAS = 10
 
 
 def cipher_args(i: int) -> tuple[str, str]:
-    """(from, to) letter permutation for replica i (identity for 0)."""
+    """(from, to) letter+digit permutation for replica i (identity
+    for 0). Digits permute among digits so count-based quality ratios
+    are unchanged."""
     letters = string.ascii_lowercase
+    digits = string.digits
     if i == 0:
-        return letters, letters
-    perm = list(letters)
-    random.Random(20260817 + i).shuffle(perm)
-    return letters + letters.upper(), "".join(perm) + "".join(perm).upper()
+        return letters + digits, letters + digits
+    rng = random.Random(20260817 + i)
+    lperm = list(letters)
+    rng.shuffle(lperm)
+    dperm = list(digits)
+    rng.shuffle(dperm)
+    lp, dp = "".join(lperm), "".join(dperm)
+    return (
+        letters + letters.upper() + digits,
+        lp + lp.upper() + dp,
+    )
 
 
 def main() -> None:

@@ -278,3 +278,21 @@ def test_dup_clusters_star_logn_on_long_chain(spark):
     }
     assert out == {i: 0 for i in range(81)}
 
+
+
+def test_dup_clusters_star_keeps_self_pair_nodes(spark):
+    """A node appearing only in a self-pair (a == b) is a 1-node
+    component; both algorithms must surface it identically."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=7, id_b=7), Row(id_a=1, id_b=2)]
+    )
+    prop = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, algorithm="star").collect()
+    }
+    assert prop == star == {1: 1, 2: 1, 7: 7}

@@ -216,3 +216,35 @@ def test_wav_truncated_and_garbage_raise_cleanly():
         truncated = bytearray(blob[:36])
         truncated[4:8] = _struct.pack("<I", len(truncated) - 8)
         wav_decode(bytes(truncated))
+
+
+def test_avi_midstream_truncation_is_atomic(spark):
+    """A clip whose SECOND frame is corrupt must yield exactly one
+    decode_failed row — never a mix of success frames and a failure row
+    for the same media_ref."""
+    import struct as _struct
+
+    from ocr_inference_spark.multimodal import avi_encode_mjpeg
+
+    frames = [render_page(["frame a"]), render_page(["frame b"])]
+    avi = bytearray(avi_encode_mjpeg(frames, fps=4))
+    # truncate the SECOND movi chunk's JPEG mid-stream (occurrences of
+    # '00dc' after the movi frames are idx1 index entries, not chunks)
+    idx = bytes(avi).find(b"00dc", bytes(avi).find(b"00dc") + 4)
+    (sz,) = _struct.unpack("<I", avi[idx + 4 : idx + 8])
+    corrupt = avi[: idx + 8 + sz - 200]
+    corrupt[idx + 4 : idx + 8] = _struct.pack("<I", sz - 200)
+    # fix RIFF + movi LIST sizes minimally: shrink top-level size
+    corrupt[4:8] = _struct.pack("<I", len(corrupt) - 8)
+    movi = bytes(corrupt).find(b"LIST", 12)
+    (lsz,) = _struct.unpack("<I", corrupt[movi + 4 : movi + 8])
+    rows = [
+        Row(media_ref="bad", modality="video", content=bytes(corrupt),
+            mime="video/x-msvideo", meta={}),
+    ]
+    from ocr_inference_spark.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_nth=1).collect()
+    assert len(out) == 1
+    assert out[0]["status"] == "decode_failed" and out[0]["frame_idx"] == -1
