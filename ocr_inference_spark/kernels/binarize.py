@@ -69,7 +69,9 @@ def binarize(
     r = max(block // (2 * d), 1)
     b = 2 * r + 1
     total = box_sum_from_integral(integral(small, r), b, b)  # (ceil(h/d), ceil(w/d))
-    # upsample the mean surface by repetition back to full resolution
-    up = np.repeat(np.repeat(total, d, axis=0), d, axis=1)[:h, :w]
-    lhs = gray.astype(np.int32) * (b * b)
-    return (lhs < up - c * b * b).astype(np.uint8)
+    # gray*b² < total - c*b²  ⟺  gray <= floor((total - c*b² - 1) / b²):
+    # folding the threshold onto the SMALL grid keeps the full-resolution
+    # work to one uint8-vs-int16 compare (no int32 page-sized multiply)
+    thr = np.clip((total - c * b * b - 1) // (b * b), -1, 255).astype(np.int16)
+    up = np.repeat(np.repeat(thr, d, axis=0), d, axis=1)[:h, :w]
+    return (gray <= up).astype(np.uint8)

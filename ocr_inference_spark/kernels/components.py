@@ -43,33 +43,51 @@ class Component:
         # (reference: BDRC/line_detection.py:188-209)
         return (self.x + self.w // 2, self.y + self.h // 2)
 
+    @property
+    def runs_arr(self) -> np.ndarray:
+        """Runs as an int64 (m, 3) array [row, x0, x1), cached — runs are
+        never mutated after construction, so the two views stay in sync.
+        The vectorized consumers (slice stats, profiles, thickness) pull
+        this instead of looping Python tuples."""
+        a = getattr(self, "_runs_arr", None)
+        if a is None:
+            a = np.asarray(self.runs, dtype=np.int64).reshape(-1, 3)
+            object.__setattr__(self, "_runs_arr", a)
+        return a
+
     def top_profile(self) -> np.ndarray:
         """For each column in [x, x+w): smallest row holding ink (int32);
         columns with no ink hold -1."""
-        top = np.full(self.w, np.iinfo(np.int32).max, dtype=np.int64)
-        for row, x0, x1 in self.runs:
-            seg = top[x0 - self.x : x1 - self.x]
-            np.minimum(seg, row, out=seg)
-        top[top == np.iinfo(np.int32).max] = -1
-        return top.astype(np.int32)
+        # runs are row-major (rows ascending): writing rows DESCENDING
+        # leaves the smallest row in each column — plain slice stores,
+        # no per-run np.minimum temporaries
+        top = np.full(self.w, -1, dtype=np.int32)
+        x = self.x
+        for row, x0, x1 in reversed(self.runs):
+            top[x0 - x : x1 - x] = row
+        return top
 
     def median_thickness(self) -> float:
         """Median per-column ink row count over columns holding ink — a
         warp-INVARIANT height measure: a thin rule bent by page curl has
         an inflated bbox height but its columns stay ~rule-thin, while a
         text line's columns stay ~band-tall."""
-        t = np.zeros(self.w, dtype=np.int32)
-        for row, x0, x1 in self.runs:
-            t[x0 - self.x : x1 - self.x] += 1
+        a = self.runs_arr
+        if not a.size:
+            return 0.0
+        # +1/-1 boundary marks, cumsum -> per-column run count
+        d = np.zeros(self.w + 1, dtype=np.int64)
+        np.add.at(d, a[:, 1] - self.x, 1)
+        np.add.at(d, a[:, 2] - self.x, -1)
+        t = np.cumsum(d[:-1])
         inked = t[t > 0]
         return float(np.median(inked)) if inked.size else 0.0
 
     def column_ys(self, x_abs: int) -> np.ndarray:
         """All ink rows of this component at absolute column ``x_abs``."""
-        return np.array(
-            sorted(row for row, x0, x1 in self.runs if x0 <= x_abs < x1),
-            dtype=np.int32,
-        )
+        a = self.runs_arr
+        sel = (a[:, 1] <= x_abs) & (x_abs < a[:, 2])
+        return np.sort(a[sel, 0]).astype(np.int32)
 
 
 def _all_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -80,92 +98,95 @@ def _all_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     loop — the CC hot path at page scale.
     """
     h, w = mask.shape
-    padded = np.zeros((h, w + 2), dtype=np.int8)
+    W = w + 2
+    padded = np.zeros((h, W), dtype=np.int8)
     padded[:, 1:-1] = mask
-    d = np.diff(padded, axis=1)
-    sr, sc = np.nonzero(d == 1)
-    er, ec = np.nonzero(d == -1)
-    # np.nonzero is row-major: starts and ends align pairwise per row
-    return sr, sc, ec
+    # one flattened diff + ONE nonzero scan (the zero pad columns keep
+    # row boundaries transition-free); start at (r, x) appears at flat
+    # index r*W + x with value +1, exclusive end at r*W + x1 with -1
+    d = np.diff(padded.ravel())
+    nz = np.flatnonzero(d)
+    vals = d[nz]
+    starts = nz[vals == 1]
+    ends = nz[vals == -1]
+    # starts/ends align pairwise in flat (row-major) order
+    return starts // W, starts % W, ends % W
 
 
 def connected_components(mask: np.ndarray) -> list[Component]:
-    """Label a {0,1} mask; returns components sorted bottom-to-top."""
-    h, _w = mask.shape
-    parent: list[int] = []
+    """Label a {0,1} mask; returns components sorted bottom-to-top.
 
-    def find(a: int) -> int:
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
+    Fully vectorized run-based labeling: runs from one flattened
+    diff/nonzero pass; the run adjacency graph from two batched
+    ``searchsorted`` calls over composite (row, x) keys (within a row
+    both starts and exclusive ends are strictly increasing, so the
+    prev-row runs touching a given run — 8-connectivity, diagonal touch
+    included — form a contiguous index window); components from
+    min-label propagation with pointer doubling (O(log n) rounds);
+    per-component bbox/area via grouped reductions. The partition is
+    identical to the classic two-pass union-find this replaces.
+    """
+    h, w = mask.shape
+    rr, rs, re = _all_runs(mask)
+    n = rr.size
+    if n == 0:
+        return []
+    W = w + 2
+    start_key = rr * W + rs
+    end_key = rr * W + re
+    # run i (row y, [x0,x1)) touches prev-row run j iff re[j] >= x0 and
+    # rs[j] <= x1  ==  end_key[j] >= start_key[i]-W  and
+    # start_key[j] <= end_key[i]-W  (keys of other rows fall outside)
+    jlo = np.searchsorted(end_key, start_key - W, side="left")
+    jhi = np.searchsorted(start_key, end_key - W, side="right")
+    cnt = np.maximum(jhi - jlo, 0)
+    total = int(cnt.sum())
+    label = np.arange(n)
+    if total:
+        ii = np.repeat(np.arange(n), cnt)
+        jj = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(jlo, cnt)
+        while True:
+            m = label.copy()
+            np.minimum.at(m, ii, label[jj])
+            np.minimum.at(m, jj, label[ii])
+            while True:  # pointer doubling to the round's fixpoint
+                mm = m[m]
+                if np.array_equal(mm, m):
+                    break
+                m = mm
+            if np.array_equal(m, label):
+                break
+            label = m
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    uniq, inv = np.unique(label, return_inverse=True)
+    k = uniq.size
+    xmin = np.full(k, W, dtype=np.int64)
+    np.minimum.at(xmin, inv, rs)
+    xmax = np.zeros(k, dtype=np.int64)
+    np.maximum.at(xmax, inv, re)
+    ymin = np.full(k, h, dtype=np.int64)
+    np.minimum.at(ymin, inv, rr)
+    ymax = np.full(k, -1, dtype=np.int64)
+    np.maximum.at(ymax, inv, rr)
+    area = np.bincount(inv, weights=(re - rs).astype(np.float64)).astype(np.int64)
 
-    rrows, rstarts, rends = _all_runs(mask)
-    # slice boundaries per row in the (row-major sorted) run arrays
-    row_break = np.searchsorted(rrows, np.arange(h + 1))
-    rstarts_l = rstarts.tolist()
-    rends_l = rends.tolist()
-
-    all_runs: list[tuple[int, int, int, int]] = []  # (row, x0, x1, label)
-    prev: list[tuple[int, int, int]] = []  # (x0, x1, label) of previous row
-    prev_y = -2
-    for y in range(h):
-        lo, hi = row_break[y], row_break[y + 1]
-        if lo == hi:
-            prev = []
-            prev_y = -2
-            continue
-        if prev_y != y - 1:
-            prev = []
-        cur: list[tuple[int, int, int]] = []
-        pi = 0
-        for ri in range(lo, hi):
-            x0, x1 = rstarts_l[ri], rends_l[ri]
-            label = -1
-            while pi < len(prev) and prev[pi][1] < x0:  # prev entirely left (8-conn allows touch)
-                pi += 1
-            pj = pi
-            while pj < len(prev) and prev[pj][0] <= x1:
-                # 8-connectivity: [x0,x1) touches [px0,px1) incl. diagonal
-                if label == -1:
-                    label = prev[pj][2]
-                else:
-                    union(label, prev[pj][2])
-                pj += 1
-            if label == -1:
-                label = len(parent)
-                parent.append(label)
-            cur.append((x0, x1, label))
-            all_runs.append((y, x0, x1, label))
-        prev = cur
-        prev_y = y
-
-    groups: dict[int, list[tuple[int, int, int]]] = {}
-    for y, x0, x1, label in all_runs:
-        groups.setdefault(find(label), []).append((y, x0, x1))
-
+    # stable group-by keeps each component's runs row-major, matching the
+    # insertion order of the two-pass labeling
+    order = np.argsort(inv, kind="stable")
+    bounds = np.concatenate(([0], np.cumsum(np.bincount(inv))))
+    run_tuples = list(zip(rr.tolist(), rs.tolist(), re.tolist()))
+    ol = order.tolist()
     comps: list[Component] = []
-    for runs in groups.values():
-        ys = [r[0] for r in runs]
-        xmin = min(r[1] for r in runs)
-        xmax = max(r[2] for r in runs)
-        ymin, ymax = min(ys), max(ys)
-        area = sum(r[2] - r[1] for r in runs)
+    for ci in range(k):
+        idxs = ol[bounds[ci] : bounds[ci + 1]]
         comps.append(
             Component(
-                runs=runs,
-                x=int(xmin),
-                y=int(ymin),
-                w=int(xmax - xmin),
-                h=int(ymax - ymin + 1),
-                area=int(area),
+                runs=[run_tuples[t] for t in idxs],
+                x=int(xmin[ci]),
+                y=int(ymin[ci]),
+                w=int(xmax[ci] - xmin[ci]),
+                h=int(ymax[ci] - ymin[ci] + 1),
+                area=int(area[ci]),
             )
         )
     # bottom-to-top, then left-to-right — OpenCV-like discovery order

@@ -26,14 +26,19 @@ def component_contour(comp: Component) -> np.ndarray:
     """Boundary polygon of a component as an (N, 2) int array of (x, y):
     left edge top-to-bottom, right edge bottom-to-top (closed
     implicitly, like an OpenCV contour)."""
-    by_row: dict[int, tuple[int, int]] = {}
-    for row, x0, x1 in comp.runs:
-        lo, hi = by_row.get(row, (x0, x1))
-        by_row[row] = (min(lo, x0), max(hi, x1))
-    rows = sorted(by_row)
-    left = [(by_row[r][0], r) for r in rows]
-    right = [(by_row[r][1] - 1, r) for r in reversed(rows)]
-    return np.array(left + right, dtype=np.int64)
+    # runs are row-major with disjoint ascending runs per row, so each
+    # row's min x0 is its FIRST run and max x1 its LAST run
+    a = comp.runs_arr
+    rows = a[:, 0]
+    urows, first = np.unique(rows, return_index=True)
+    last = np.append(first[1:], rows.size) - 1
+    m = urows.size
+    out = np.empty((2 * m, 2), dtype=np.int64)
+    out[:m, 0] = a[first, 1]  # left edge top-to-bottom
+    out[:m, 1] = urows
+    out[m:, 0] = a[last, 2][::-1] - 1  # right edge bottom-to-top
+    out[m:, 1] = urows[::-1]
+    return out
 
 
 def _perp_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -46,14 +46,14 @@ def line_slice_stats(
     """
     centers = np.full(len(SLICE_FRACTIONS), np.nan)
     heights = np.full(len(SLICE_FRACTIONS), np.nan)
+    a = comp.runs_arr  # (m, 3) [row, x0, x1) — one vector overlap test per slice
+    rows, x0s, x1s = a[:, 0], a[:, 1], a[:, 2]
     for i, frac in enumerate(SLICE_FRACTIONS):
         x_start = comp.x + int(frac * max(comp.w - slice_width, 0))
-        lo = hi = None
-        for row, x0, x1 in comp.runs:
-            if x0 < x_start + slice_width and x1 > x_start:
-                lo = row if lo is None else min(lo, row)
-                hi = row if hi is None else max(hi, row)
-        if lo is not None:
+        sel = (x0s < x_start + slice_width) & (x1s > x_start)
+        if sel.any():
+            hit = rows[sel]
+            lo, hi = int(hit.min()), int(hit.max())
             s = 0.0
             if base_shift is not None:
                 s = float(base_shift[min(x_start + slice_width // 2, len(base_shift) - 1)])
@@ -197,16 +197,25 @@ def fit_page_shift(
 
 
 def apply_column_shift(img: np.ndarray, shift: np.ndarray, fill: int = 0) -> np.ndarray:
-    """Shift column x up by shift[x] pixels (vectorized int32 gather)."""
+    """Shift column x up by shift[x] pixels.
+
+    out[y, x] = img[y + shift[x], x] where in-bounds, else ``fill``.
+    The shift surface is smooth (a fitted polynomial / shear), so equal
+    shift values form contiguous column segments: one 2-D slice copy per
+    segment touches each pixel once — no page-sized index/bool
+    temporaries like a full gather would need.
+    """
     h, w = img.shape[:2]
-    ys = np.arange(h, dtype=np.int32)[:, None] + shift.astype(np.int32)[None, :]
-    inside = (ys >= 0) & (ys < h)
-    np.clip(ys, 0, h - 1, out=ys)
-    out = img[ys, np.arange(w, dtype=np.int32)[None, :]]
-    if fill == 0:
-        out *= inside  # zero the out-of-range cells without np.where
-        return out
-    return np.where(inside, out, fill).astype(img.dtype)
+    out = np.full_like(img, fill)
+    s64 = shift.astype(np.int64, copy=False)
+    bounds = np.flatnonzero(np.diff(s64)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [w]))
+    for c0, c1, s in zip(starts.tolist(), ends.tolist(), s64[starts].tolist()):
+        y0, y1 = max(0, -s), min(h, h - s)
+        if y0 < y1:
+            out[y0:y1, c0:c1] = img[y0 + s : y1 + s, c0:c1]
+    return out
 
 
 def rectify_page(

@@ -128,11 +128,13 @@ def min_area_rect(
 def component_rotated_bbox(comp: Component) -> dict:
     """RotatedBBox row for a run-based component: hull of the run
     extreme pixels (same point set a contour walk visits)."""
-    pts = []
-    for row, x0, x1 in comp.runs:
-        pts.append((x0, row))
-        pts.append((x1 - 1, row))
-    center, width, height, angle, corners = min_area_rect(np.array(pts))
+    a = comp.runs_arr
+    pts = np.empty((2 * a.shape[0], 2), dtype=np.int64)
+    pts[0::2, 0] = a[:, 1]
+    pts[0::2, 1] = a[:, 0]
+    pts[1::2, 0] = a[:, 2] - 1
+    pts[1::2, 1] = a[:, 0]
+    center, width, height, angle, corners = min_area_rect(pts)
     return {
         "cx": center[0],
         "cy": center[1],

@@ -35,17 +35,18 @@ def get_line_threshold(comps: list[Component], mask_shape, slice_width: int = 20
     w = xmax - xmin
     x_steps = (w // slice_width) // 2
     best: tuple[int, list[float]] = (0, [])
+    arrs = [c.runs_arr for c in comps]  # vector overlap test per comp/slice
     for step in range(1, x_steps + 1):
         x_start = xmin + x_steps * step
         x_end = x_start + slice_width
         y_centers = []
-        for c in comps:
-            ys: list[int] = []
-            for row, x0, x1 in c.runs:
-                if x0 < x_end and x1 > x_start and ymin <= row <= ymax:
-                    ys.append(row)
-            if ys:
-                y_centers.append((min(ys) + max(ys)) / 2.0)
+        for a in arrs:
+            sel = (a[:, 1] < x_end) & (a[:, 2] > x_start)
+            # every run row lies inside the union bbox's [ymin, ymax] by
+            # construction, so the original row-range test is implied
+            if sel.any():
+                ys = a[sel, 0]
+                y_centers.append((int(ys.min()) + int(ys.max())) / 2.0)
         if len(y_centers) > best[0]:
             best = (len(y_centers), y_centers)
     n, y_points = best
