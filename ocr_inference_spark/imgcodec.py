@@ -735,7 +735,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
 
 
 def sniff_format(data: bytes) -> str:
-    """'png' | 'jpeg' | 'tiff' | 'unknown' from container magic bytes."""
+    """'png' | 'jpeg' | 'tiff' | 'bmp' | 'pnm' | 'unknown' from
+    container magic bytes."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:2] == b"\xff\xd8":
@@ -747,12 +748,18 @@ def sniff_format(data: bytes) -> str:
                 return "tiff"
         except struct.error:
             pass
+    if data[:2] == b"BM":
+        return "bmp"
+    if len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456" and data[2:3].isspace():
+        return "pnm"
     return "unknown"
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG/JPEG/TIFF bytes by magic-byte sniffing — the formats
-    the reference's cv2.imread path accepts (reference: cli.py:16)."""
+    """Decode image bytes by magic-byte sniffing — the container surface
+    of the reference's cv2.imread path: the folder glob's png/jpeg/tiff
+    (reference: cli.py:16) plus the BMP and PNM families imread accepts
+    through --image (reference: cli.py:114)."""
     fmt = sniff_format(bytes(data[:8]))
     if fmt == "png":
         return png_decode(data)
@@ -762,4 +769,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return jpeg_decode(data)
     if fmt == "tiff":
         return tiff_decode(data)
-    raise ValueError("unrecognized image container (not PNG/JPEG/TIFF)")
+    if fmt == "bmp":
+        from .bmpcodec import bmp_decode
+
+        return bmp_decode(data)
+    if fmt == "pnm":
+        from .bmpcodec import pnm_decode
+
+        return pnm_decode(data)
+    raise ValueError("unrecognized image container (not PNG/JPEG/TIFF/BMP/PNM)")

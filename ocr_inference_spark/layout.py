@@ -181,6 +181,7 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def kernel(batches):
+        from .bmpcodec import bmp_encode, pnm_encode
         from .imgcodec import png_encode, tiff_encode
         from .jpegcodec import jpeg_encode, jpeg_encode_progressive
         from .render import render_page
@@ -205,6 +206,8 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
             lambda im: tiff_encode(im, compression="packbits"),
             lambda im: jpeg_encode(im, quality=95),
             lambda im: jpeg_encode_progressive(im, quality=95),
+            bmp_encode,  # cv2.imread --image surface (bit-exact)
+            pnm_encode,  # netpbm P5 (bit-exact)
         ]
         for pdf in batches:
             rows = {k: [] for k in ("media_ref", "content", "width", "height")}

@@ -3,7 +3,7 @@ media container.
 
 Synthesizes an interleaved corpus from the testdata documents table
 (pages carry skew/warp/caption/noise furniture), re-encodes each page
-round-robin across all ten ingestion formats INSIDE executors, runs the
+round-robin across all twelve ingestion formats INSIDE executors, runs
 full extraction, and compares against the golden expected spans. The
 tuple invariant is exact: (kind, text, media_ref, order) per document.
 
@@ -31,6 +31,8 @@ FORMATS = [
     "tiff_g4",
     "tiff_ccitt_rle",
     "png_adaptive",
+    "bmp",
+    "pnm",
 ]
 
 
@@ -50,6 +52,7 @@ def main() -> None:
     docs, pages, expected = synth_corpus(spark, sf_dir, pages_per_doc=ppd)
 
     def reencode(batches):
+        from ocr_inference_spark.bmpcodec import bmp_encode, pnm_encode
         from ocr_inference_spark.imgcodec import png_decode, png_encode, tiff_encode
         from ocr_inference_spark.jpegcodec import jpeg_encode, jpeg_encode_progressive
 
@@ -66,6 +69,8 @@ def main() -> None:
             "tiff_g4": lambda im: tiff_encode(im, compression="g4"),
             "tiff_ccitt_rle": lambda im: tiff_encode(im, compression="ccitt-rle"),
             "png_adaptive": lambda im: png_encode(im, filter_mode="adaptive"),
+            "bmp": lambda im: bmp_encode(im),
+            "pnm": lambda im: pnm_encode(im),
         }
         for pdf in batches:
             out = []
