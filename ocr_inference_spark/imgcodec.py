@@ -735,8 +735,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
 
 
 def sniff_format(data: bytes) -> str:
-    """'png' | 'jpeg' | 'tiff' | 'bmp' | 'pnm' | 'unknown' from
-    container magic bytes."""
+    """'png' | 'jpeg' | 'tiff' | 'gif' | 'bmp' | 'pnm' | 'unknown'
+    from container magic bytes."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:2] == b"\xff\xd8":
@@ -748,6 +748,8 @@ def sniff_format(data: bytes) -> str:
                 return "tiff"
         except struct.error:
             pass
+    if data[:4] == b"GIF8":
+        return "gif"
     if data[:2] == b"BM":
         return "bmp"
     if len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456" and data[2:3].isspace():
@@ -769,6 +771,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return jpeg_decode(data)
     if fmt == "tiff":
         return tiff_decode(data)
+    if fmt == "gif":
+        from .gifcodec import gif_decode
+
+        return gif_decode(data)
     if fmt == "bmp":
         from .bmpcodec import bmp_decode
 
@@ -777,4 +783,4 @@ def decode_image(data: bytes) -> np.ndarray:
         from .bmpcodec import pnm_decode
 
         return pnm_decode(data)
-    raise ValueError("unrecognized image container (not PNG/JPEG/TIFF/BMP/PNM)")
+    raise ValueError("unrecognized image container (not PNG/JPEG/TIFF/GIF/BMP/PNM)")

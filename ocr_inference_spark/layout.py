@@ -182,6 +182,7 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
 
     def kernel(batches):
         from .bmpcodec import bmp_encode, pnm_encode
+        from .gifcodec import gif_encode
         from .imgcodec import png_encode, tiff_encode
         from .jpegcodec import jpeg_encode, jpeg_encode_progressive
         from .render import render_page
@@ -208,6 +209,7 @@ def render_layout_pages(spark: SparkSession, spec_df: DataFrame) -> DataFrame:
             lambda im: jpeg_encode_progressive(im, quality=95),
             bmp_encode,  # cv2.imread --image surface (bit-exact)
             pnm_encode,  # netpbm P5 (bit-exact)
+            gif_encode,  # web still-image surface (256-gray GCT, bit-exact)
         ]
         for pdf in batches:
             rows = {k: [] for k in ("media_ref", "content", "width", "height")}

@@ -320,11 +320,19 @@ def iter_video_frames(content: bytes):
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         yield from _iter_avi_mjpeg_frames(content)
         return
+    if content[:4] == b"GIF8":
+        # animated GIF is the web's other short-clip container; frames
+        # come out composited full-canvas (gifcodec handles disposal /
+        # transparency), so the sampler treats it exactly like MJPEG
+        from .gifcodec import iter_gif_frames
+
+        yield from iter_gif_frames(content)
+        return
     if content[:4] != _RAWV_MAGIC:
         raise NotImplementedError(
             "inter-frame video codecs (h264/vp9/av1) are not available "
-            "in this container; MJPEG-AVI and the RAWV fixture container "
-            "decode here"
+            "in this container; MJPEG-AVI, animated GIF, and the RAWV "
+            "fixture container decode here"
         )
     (n,) = struct.unpack("<I", content[4:8])
     pos = 8

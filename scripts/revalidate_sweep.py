@@ -33,6 +33,7 @@ FORMATS = [
     "png_adaptive",
     "bmp",
     "pnm",
+    "gif",
 ]
 
 
@@ -53,6 +54,7 @@ def main() -> None:
 
     def reencode(batches):
         from ocr_inference_spark.bmpcodec import bmp_encode, pnm_encode
+        from ocr_inference_spark.gifcodec import gif_encode
         from ocr_inference_spark.imgcodec import png_decode, png_encode, tiff_encode
         from ocr_inference_spark.jpegcodec import jpeg_encode, jpeg_encode_progressive
 
@@ -71,6 +73,7 @@ def main() -> None:
             "png_adaptive": lambda im: png_encode(im, filter_mode="adaptive"),
             "bmp": lambda im: bmp_encode(im),
             "pnm": lambda im: pnm_encode(im),
+            "gif": lambda im: gif_encode(im),
         }
         for pdf in batches:
             out = []
