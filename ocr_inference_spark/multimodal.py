@@ -449,13 +449,19 @@ def synth_wav_corpus(spark, docs_df: DataFrame, n_docs: int = 32) -> DataFrame:
 
 
 def synth_mjpeg_corpus(spark, spec_df: DataFrame) -> DataFrame:
-    """Per layout-spec row: an MJPEG-AVI whose frame j (j < n_lines) is
+    """Per layout-spec row: a short clip whose frame j (j < n_lines) is
     the single-line spec page for pool line j — frame count and pixel
-    dimensions are closed-form from the spec (the q34 geometry)."""
+    dimensions are closed-form from the spec (the q34 geometry).
+    Containers ROTATE per doc so the driver gate exercises both clip
+    decoders: even doc_ids build an MJPEG-AVI (frames at their natural
+    per-page sizes), odd doc_ids an animated GIF (one logical screen
+    per clip, so frames pad right to the widest page with paper — the
+    GIF canvas model; q42's oracle mirrors both width rules)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gifcodec import gif_encode_frames
         from .layout import _SPEC_LINE_POOL
-        from .render import render_page
+        from .render import PAPER, render_page
 
         for pdf in batches:
             rows = {k: [] for k in ("media_ref", "modality", "content", "mime", "meta")}
@@ -463,10 +469,20 @@ def synth_mjpeg_corpus(spark, spec_df: DataFrame) -> DataFrame:
                 frames = [
                     render_page([_SPEC_LINE_POOL[j]]) for j in range(int(n_lines))
                 ]
-                rows["media_ref"].append(f"avi_{int(doc_id):08d}")
+                if int(doc_id) % 2 == 0:
+                    rows["media_ref"].append(f"avi_{int(doc_id):08d}")
+                    rows["content"].append(avi_encode_mjpeg(frames, fps=10, quality=95))
+                    rows["mime"].append("video/x-msvideo")
+                else:
+                    wmax = max(f.shape[1] for f in frames)
+                    padded = [
+                        np.pad(f, ((0, 0), (0, wmax - f.shape[1])), constant_values=PAPER)
+                        for f in frames
+                    ]
+                    rows["media_ref"].append(f"gif_{int(doc_id):08d}")
+                    rows["content"].append(gif_encode_frames(padded, delay_cs=10))
+                    rows["mime"].append("image/gif")
                 rows["modality"].append("video")
-                rows["content"].append(avi_encode_mjpeg(frames, fps=10, quality=95))
-                rows["mime"].append("video/x-msvideo")
                 rows["meta"].append({})
             yield pd.DataFrame(rows)
 

@@ -1174,10 +1174,13 @@ GROUP BY s.doc_id
 
 def q42_video_mjpeg_frames(spark, sf_dir):
     """Multimodal video under the hard gate: per layout-spec row a REAL
-    MJPEG-in-AVI container is built executor-side (frame j = the
-    single-line spec page for pool line j), then frame-sampled by the
-    real RIFF/AVI walker + JPEG decoder — frame inventory and pixel
-    dimensions are closed-form from the md5 spec (the q34 geometry)."""
+    short-clip container is built executor-side (frame j = the
+    single-line spec page for pool line j) — MJPEG-in-AVI for even
+    doc_ids, animated GIF for odd — then frame-sampled by the real
+    RIFF/AVI walker + JPEG decoder / GIF LZW compositor. Frame
+    inventory and pixel dimensions are closed-form from the md5 spec
+    (the q34 geometry; GIF frames share the clip's logical screen, so
+    their width is the widest page in the clip)."""
     from .layout import layout_spec
     from .multimodal import sample_video_frames, synth_mjpeg_corpus
 
@@ -1194,7 +1197,11 @@ def _q42_oracle() -> str:
     from .render import PAGE_MARGIN
 
     pool_w = [line_pixel_width(len(encode_text(t))) for t in _SPEC_LINE_POOL]
-    w0, w2 = pool_w[0] + 2 * PAGE_MARGIN, pool_w[2] + 2 * PAGE_MARGIN
+    page_w = [pw + 2 * PAGE_MARGIN for pw in pool_w]
+    w0, w2 = page_w[0], page_w[2]
+    # GIF clips share one logical screen: width = widest page among the
+    # clip's n_lines frames (closed-form per n)
+    gif_w = {n: max(page_w[:n]) for n in (1, 2, 3)}
     height = 2 * PAGE_MARGIN + BAND_H
     return f"""
 WITH spec AS (
@@ -1202,8 +1209,13 @@ WITH spec AS (
     1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_lines
   FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
 )
-SELECT printf('avi_%08d', doc_id) AS media_ref, CAST(i AS INTEGER) AS frame_idx,
-  CAST(CASE i WHEN 0 THEN {w0} ELSE {w2} END AS INTEGER) AS width,
+SELECT printf(CASE WHEN doc_id % 2 = 0 THEN 'avi_%08d' ELSE 'gif_%08d' END,
+              doc_id) AS media_ref,
+  CAST(i AS INTEGER) AS frame_idx,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN CASE i WHEN 0 THEN {w0} ELSE {w2} END
+       ELSE CASE n_lines WHEN 1 THEN {gif_w[1]} WHEN 2 THEN {gif_w[2]}
+            ELSE {gif_w[3]} END
+  END AS INTEGER) AS width,
   CAST({height} AS INTEGER) AS height, 'success' AS status
 FROM spec CROSS JOIN (SELECT unnest([0, 2]) AS i) g
 WHERE i < n_lines

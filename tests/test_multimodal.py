@@ -248,3 +248,34 @@ def test_avi_midstream_truncation_is_atomic(spark):
     out = sample_video_frames(df, every_nth=1).collect()
     assert len(out) == 1
     assert out[0]["status"] == "decode_failed" and out[0]["frame_idx"] == -1
+
+
+def test_clip_corpus_rotates_avi_and_gif(spark):
+    """q42's synthetic clip corpus must carry BOTH short-clip
+    containers (even doc_id -> MJPEG-AVI, odd -> animated GIF) and the
+    GIF clips' frames must come out at the clip's logical-screen width
+    (widest page among its frames), padded with paper."""
+    from ocr_inference_spark.layout import _SPEC_LINE_POOL, layout_spec
+    from ocr_inference_spark.multimodal import synth_mjpeg_corpus
+    from ocr_inference_spark.glyphs import encode_text, line_pixel_width
+    from ocr_inference_spark.render import PAGE_MARGIN
+    from ocr_inference_spark.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    media = synth_mjpeg_corpus(spark, layout_spec(docs, n_docs=8))
+    rows = media.select("media_ref", "mime").collect()
+    kinds = {r["media_ref"][:3] for r in rows}
+    assert kinds == {"avi", "gif"}
+    assert {r["mime"] for r in rows} == {"video/x-msvideo", "image/gif"}
+
+    sampled = {
+        (r["media_ref"], r["frame_idx"]): r
+    for r in sample_video_frames(media, every_nth=2).collect()}
+    assert all(r["status"] == "success" for r in sampled.values())
+    page_w = [line_pixel_width(len(encode_text(t))) + 2 * PAGE_MARGIN
+              for t in _SPEC_LINE_POOL]
+    # every GIF frame is as wide as its clip's widest page
+    gif_rows = [r for r in sampled.values() if r["media_ref"].startswith("gif")]
+    assert gif_rows
+    for r in gif_rows:
+        assert r["width"] in {max(page_w[:n]) for n in (1, 2, 3)}
