@@ -1222,6 +1222,61 @@ WHERE i < n_lines
 """
 
 
+def q44_html_extract_spans(spark, sf_dir):
+    """Main-content extraction for the web's native container (the
+    north rule's 'HTML boilerplate strip ... DOM heuristics' named
+    surface): per documents row a deterministic web page is rendered
+    executor-side — real site chrome (head script/style decoys,
+    header+nav, link-soup menu, advert div, aside, footer) around
+    derived paragraphs and an optional in-content image — then the
+    generic tag-soup parser + jusText-style link-density classifier
+    (text/html_extract.py) must strip every piece of furniture and
+    re-emit the ordered (kind, text, media_ref, offset) span sequence,
+    entity decoding included. DuckDB derives the expected spans
+    relationally from the documents table (the q30/q34 recipe)."""
+    from .text.html_extract import html_extract_spans, synth_html_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return html_extract_spans(synth_html_corpus(spark, docs, n_docs=64))
+
+
+def _q44_oracle() -> str:
+    from .text.html_extract import PARA_WIDTH, paragraphs_for  # noqa: F401
+
+    w = PARA_WIDTH
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_paras,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS has_img,
+    coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 64
+),
+par AS (
+  SELECT doc_id, i, n_paras, has_img,
+    CASE WHEN seg = '' THEN 'paragraph ' || i ELSE seg END AS ptext
+  FROM (
+    SELECT doc_id, i, n_paras, has_img,
+      trim(regexp_replace(substring(text, i * {w} + 1, {w}), ' +', ' ', 'g'))
+        AS seg
+    FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+    WHERE i < n_paras
+  )
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind,
+  CASE WHEN i = 0 THEN ptext || ' & more' ELSE ptext END AS text,
+  CAST(NULL AS VARCHAR) AS media_ref,
+  CAST(CASE WHEN i = 0 THEN 0
+       ELSE i + CASE WHEN has_img THEN 1 ELSE 0 END END AS INTEGER)
+    AS "offset"
+FROM par
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', NULL,
+  printf('img_%08d_00.png', doc_id), CAST(1 AS INTEGER)
+FROM src WHERE has_img
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1278,6 +1333,7 @@ QUERIES = {
     "q41_audio_wav_metrics": q41_audio_wav_metrics,
     "q42_video_mjpeg_frames": q42_video_mjpeg_frames,
     "q43_stream_hourly_rollup": q43_stream_hourly_rollup,
+    "q44_html_extract_spans": q44_html_extract_spans,
 }
 
 ORACLES = {
@@ -1321,6 +1377,7 @@ ORACLES = {
     "q41_audio_wav_metrics": ORACLE_Q41,
     "q42_video_mjpeg_frames": _q42_oracle(),
     "q43_stream_hourly_rollup": ORACLE_Q29,  # same rollup, streaming engine
+    "q44_html_extract_spans": _q44_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

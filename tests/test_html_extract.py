@@ -1,0 +1,162 @@
+"""HTML main-content extraction (north rule: 'HTML boilerplate strip,
+PDF/layout parse, DOM heuristics'): the tag-soup parser, the
+jusText-style link-density classifier, the Readability-style tag/class
+pruning, entity decoding, tolerant parsing of malformed input, and the
+Spark span-emission path."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_inference_spark.text.html_extract import (
+    _spec_of,
+    paragraphs_for,
+    parse_html_spans,
+    strip_boilerplate,
+    synth_html_for,
+)
+
+LONG_TEXT = (
+    "key agg row scan slow fast table value part hash value table part "
+    "a row fast merge batch part value fast spark a a the lazy dog jumps "
+    "over something quite long indeed to span multiple windows of sixty "
+    "four characters each for testing purposes only"
+)
+
+
+# ------------------------------------------------------- synthetic corpus
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 11, 40])
+def test_synth_page_extracts_exactly_the_derived_spans(doc_id):
+    spans = parse_html_spans(synth_html_for(doc_id, LONG_TEXT))
+    paras = paragraphs_for(doc_id, LONG_TEXT)
+    _, has_img = _spec_of(doc_id)
+    expected = [("text", paras[0] + " & more", None)]
+    if has_img:
+        expected.append(("media", None, f"img_{doc_id:08d}_00.png"))
+    expected += [("text", p, None) for p in paras[1:]]
+    assert spans == expected
+
+
+def test_fallback_paragraphs_for_short_docs():
+    spans = parse_html_spans(synth_html_for(3, "tiny"))  # doc 3: 3 paras, no img
+    assert spans == [
+        ("text", "tiny & more", None),
+        ("text", "paragraph 1", None),
+        ("text", "paragraph 2", None),
+    ]
+
+
+def test_no_furniture_leaks():
+    html = synth_html_for(5, LONG_TEXT)
+    joined = strip_boilerplate(html)
+    for decoy in (
+        "Portal", "home", "archive", "tags",  # header + nav
+        "one", "two", "three",  # link-soup menu
+        "BUY NOW",  # advert class hint
+        "you may also like",  # aside
+        "portal archives",  # footer
+        "not content", "decoy",  # script/style raw text
+        "rendered by",  # comment
+        "site",  # <title> inside dropped <head>
+    ):
+        assert decoy not in joined, decoy
+
+
+# ------------------------------------------------------- classifier rules
+
+
+def test_link_density_drops_link_soup_keeps_prose_with_links():
+    soup = "<p><a href=a>aaaa</a> <a href=b>bbbb</a> <a href=c>cccc</a> x</p>"
+    assert parse_html_spans(soup) == []
+    prose = "<p>a long sentence of running prose with just <a href=x>one link</a> inside</p>"
+    assert parse_html_spans(prose) == [
+        ("text", "a long sentence of running prose with just one link inside", None)
+    ]
+
+
+def test_class_and_id_hints():
+    assert parse_html_spans('<div class="sidebar-right">junk</div>') == []
+    assert parse_html_spans('<div id="page_footer">junk</div>') == []
+    assert parse_html_spans('<div class="share social">junk</div>') == []
+    # 'content' must NOT false-positive on the 'comment' hint
+    assert parse_html_spans('<div class="content">keep me</div>') == [
+        ("text", "keep me", None)
+    ]
+    # hint inside a kept parent still drops only the hinted subtree
+    got = parse_html_spans(
+        '<div class="content">before<div class="advert">ad</div>after</div>'
+    )
+    assert got == [("text", "before", None), ("text", "after", None)]
+
+
+def test_img_handling():
+    # in-content img with src -> media span at its position
+    assert parse_html_spans('<p>a</p><img src="x.png"><p>b</p>') == [
+        ("text", "a", None),
+        ("media", None, "x.png"),
+        ("text", "b", None),
+    ]
+    # img without src emits nothing; img inside dropped subtree emits nothing
+    assert parse_html_spans("<img><nav><img src=n.png></nav>") == []
+
+
+def test_entities_and_whitespace():
+    got = parse_html_spans("<p>a &amp; b &#x41;&#66; &nbsp; c\n\t d</p>")
+    assert got == [("text", "a & b AB c d", None)]
+
+
+# ------------------------------------------------------- tolerant parsing
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        "",
+        "<",
+        "<p>unclosed",
+        "<p>truncated <a href='x",
+        "<!-- unterminated comment",
+        "<script>var x = '<p>fake</p>'",  # unterminated rawtext
+        "3 < 5 and 7 > 2 are just text",
+        "<div><p>mismatched</div></p>",
+        "<p></p>" * 1000,
+    ],
+)
+def test_never_raises_on_malformed(blob):
+    parse_html_spans(blob)  # must not raise
+
+
+def test_bare_lt_is_text():
+    assert parse_html_spans("<p>3 < 5 yes</p>") == [("text", "3 < 5 yes", None)]
+
+
+def test_script_rawtext_swallows_fake_tags():
+    html = '<script>document.write("</div><p>fake</p>");</script><p>real</p>'
+    # the HTML5 rawtext rule: script ends at the FIRST '</script'; the
+    # decoy '</div><p>' inside does not terminate it or leak as content
+    assert parse_html_spans(html) == [("text", "real", None)]
+
+
+# ------------------------------------------------------- spark path
+
+
+def test_spark_span_rows_match_pure_function(spark):
+    from ocr_inference_spark.io import read_table
+    from ocr_inference_spark.text.html_extract import (
+        html_extract_spans,
+        synth_html_corpus,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    corpus = synth_html_corpus(spark, docs, n_docs=12)
+    got = {
+        (r["doc_id"], r["offset"]): (r["kind"], r["text"], r["media_ref"])
+        for r in html_extract_spans(corpus).collect()
+    }
+    for row in corpus.collect():
+        expected = parse_html_spans(row["html"])
+        for off, span in enumerate(expected):
+            assert got[(str(row["doc_id"]), off)] == span
+        assert (str(row["doc_id"]), len(expected)) not in got
