@@ -1277,6 +1277,59 @@ FROM src WHERE has_img
 """
 
 
+def q45_pdf_extract_spans(spark, sf_dir):
+    """PDF layout parse under the hard gate (the north rule's
+    'PDF/layout parse' named surface): per documents row a deterministic
+    one-page PDF is written executor-side — same md5 spec and paragraph
+    derivation as the HTML corpus, but items are emitted in ROTATED
+    content-stream order with their y coordinates encoding the logical
+    order, and streams alternate raw/FlateDecode by doc parity — then
+    the from-scratch PDF parser (object lexer, page-tree walk, content
+    text state machine, XObject image placement) must sort by page
+    GEOMETRY to re-emit the ordered span sequence. DuckDB derives the
+    expected spans relationally (the q30/q34/q44 recipe)."""
+    from .text.pdf_extract import pdf_extract_spans_df, synth_pdf_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return pdf_extract_spans_df(synth_pdf_corpus(spark, docs, n_docs=64))
+
+
+def _q45_oracle() -> str:
+    from .text.html_extract import PARA_WIDTH  # same derivation as q44
+
+    w = PARA_WIDTH
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_paras,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS has_img,
+    coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 64
+),
+par AS (
+  SELECT doc_id, i, n_paras, has_img,
+    CASE WHEN seg = '' THEN 'paragraph ' || i ELSE seg END AS ptext
+  FROM (
+    SELECT doc_id, i, n_paras, has_img,
+      trim(regexp_replace(substring(text, i * {w} + 1, {w}), ' +', ' ', 'g'))
+        AS seg
+    FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+    WHERE i < n_paras
+  )
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, ptext AS text,
+  CAST(NULL AS VARCHAR) AS media_ref,
+  CAST(CASE WHEN i = 0 THEN 0
+       ELSE i + CASE WHEN has_img THEN 1 ELSE 0 END END AS INTEGER)
+    AS "offset"
+FROM par
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', NULL,
+  printf('img_%08d_00', doc_id), CAST(1 AS INTEGER)
+FROM src WHERE has_img
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1334,6 +1387,7 @@ QUERIES = {
     "q42_video_mjpeg_frames": q42_video_mjpeg_frames,
     "q43_stream_hourly_rollup": q43_stream_hourly_rollup,
     "q44_html_extract_spans": q44_html_extract_spans,
+    "q45_pdf_extract_spans": q45_pdf_extract_spans,
 }
 
 ORACLES = {
@@ -1378,6 +1432,7 @@ ORACLES = {
     "q42_video_mjpeg_frames": _q42_oracle(),
     "q43_stream_hourly_rollup": ORACLE_Q29,  # same rollup, streaming engine
     "q44_html_extract_spans": _q44_oracle(),
+    "q45_pdf_extract_spans": _q45_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
