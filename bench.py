@@ -47,6 +47,10 @@ HEADLINE = [
     # edge list before the CC rounds (the r2 instability was each round
     # re-executing the Jaccard shingle self-join)
     "q37_dup_clusters",
+    # round-5 additions: the north rule's named main-content extraction
+    # surfaces (HTML boilerplate strip + PDF layout parse)
+    "q44_html_extract_spans",
+    "q45_pdf_extract_spans",
 ]
 
 

@@ -1330,6 +1330,123 @@ FROM src WHERE has_img
 """
 
 
+def q46_web_doc_ocr_fusion(spark, sf_dir):
+    """The two ingestion paths COMPOSED, end-to-end under the hard
+    gate: deterministic web pages are rendered executor-side; the HTML
+    extractor re-emits each as an ordered span document (text paragraphs
+    + in-content img media spans); the media refs resolve against a
+    rendered pages sidecar (the q30 synth renderer: golden lines +
+    strip-me furniture); and the UNCHANGED OCR pipeline
+    (pipeline.extract_spans) OCRs every referenced image and splices
+    its detected line spans directly after the media span, densely
+    renumbered. DuckDB derives the full fused span sequence from the
+    documents table alone (q44's paragraph rule + q30's line rule) —
+    hash-equality proves HTML parse, boilerplate strip, media
+    resolution, render, decode, detect, order, recognize, and
+    reassembly agree character-for-character in one relational plan."""
+    from .pipeline import extract_spans
+    from .synth import PAGES_GEN_SCHEMA, _render_kernel
+    from .text.html_extract import html_extract_spans, synth_html_corpus
+
+    n_docs = 48
+    docs = _t(spark, sf_dir, "documents")
+    corpus = synth_html_corpus(spark, docs, n_docs=n_docs)
+
+    # HTML spans -> DOCUMENTS_SCHEMA (pure Catalyst: group + sort)
+    rows = html_extract_spans(corpus)
+    web_docs = rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].cast("int").alias("offset"),
+            ),
+        ).alias("spans")
+    )
+
+    # pages sidecar for the in-content img refs (the q30 renderer:
+    # page_lines_for golden lines + md5-styled furniture to strip);
+    # has_img is the SAME md5 bit the HTML generator uses
+    h = F.md5(F.col("doc_id").cast("string"))
+    pages = (
+        docs.where(F.col("doc_id") < n_docs)
+        .where(F.ascii(F.substring(h, 2, 1)) % 2 == 0)
+        .select(
+            F.format_string("img_%08d_00.png", "doc_id").alias("media_ref"),
+            "text",
+            F.lit(3).alias("n_lines"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "media_ref")
+        .mapInPandas(_render_kernel, schema=PAGES_GEN_SCHEMA)
+        .select("media_ref", "content", "width", "height")
+    )
+
+    out = extract_spans(spark, web_docs, pages, strategy="broadcast")
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def _q46_oracle() -> str:
+    from .glyphs import CHARSET
+    from .text.html_extract import PARA_WIDTH
+
+    w = PARA_WIDTH
+    lw = 28  # synth.page_lines_for window
+    cls = CHARSET.replace("-", "\\-").replace("'", "''")
+    seg = f"trim(substring(cleaned, i * {lw} + 1, {lw}))"
+    line_text = f"CASE WHEN {seg} = '' THEN 'line ' || i ELSE {seg} END"
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_paras,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS has_img,
+    coalesce(text, '') AS text,
+    lower(regexp_replace(lower(text), '[^{cls}]', ' ', 'g')) AS cleaned
+  FROM documents WHERE doc_id < 48
+),
+par AS (
+  SELECT doc_id, i, n_paras, has_img,
+    CASE WHEN seg2 = '' THEN 'paragraph ' || i ELSE seg2 END AS ptext
+  FROM (
+    SELECT doc_id, i, n_paras, has_img,
+      trim(regexp_replace(substring(text, i * {w} + 1, {w}), ' +', ' ', 'g'))
+        AS seg2
+    FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+    WHERE i < n_paras
+  )
+),
+ln AS (
+  SELECT doc_id, i, {line_text} AS line_text
+  FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+  WHERE has_img
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind,
+  CASE WHEN i = 0 THEN ptext || ' & more' ELSE ptext END AS text,
+  CAST(NULL AS VARCHAR) AS media_ref,
+  CAST(CASE WHEN i = 0 THEN 0
+       ELSE i + CASE WHEN has_img THEN 4 ELSE 0 END END AS INTEGER)
+    AS "offset"
+FROM par
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', NULL,
+  printf('img_%08d_00.png', doc_id), CAST(1 AS INTEGER)
+FROM src WHERE has_img
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text', line_text,
+  printf('img_%08d_00.png', doc_id), CAST(2 + i AS INTEGER)
+FROM ln
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1388,6 +1505,7 @@ QUERIES = {
     "q43_stream_hourly_rollup": q43_stream_hourly_rollup,
     "q44_html_extract_spans": q44_html_extract_spans,
     "q45_pdf_extract_spans": q45_pdf_extract_spans,
+    "q46_web_doc_ocr_fusion": q46_web_doc_ocr_fusion,
 }
 
 ORACLES = {
@@ -1433,6 +1551,7 @@ ORACLES = {
     "q43_stream_hourly_rollup": ORACLE_Q29,  # same rollup, streaming engine
     "q44_html_extract_spans": _q44_oracle(),
     "q45_pdf_extract_spans": _q45_oracle(),
+    "q46_web_doc_ocr_fusion": _q46_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
