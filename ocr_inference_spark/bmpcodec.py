@@ -4,9 +4,10 @@ The reference's single-image path hands any file to ``cv2.imread``
 (reference: cli.py:114, BDRC/utils.py:283); beyond the folder glob's
 jpg/png/tif, imread also accepts BMP and PBM/PGM/PPM containers, so a
 user pointing ``--image`` at one gets a decode. These two are the
-remaining simple members of that surface (JPEG2000/WebP/OpenEXR are
-deliberate exclusions — heavyweight formats far outside this synthetic
-corpus, documented in SURVEY.md §2).
+remaining simple members of that surface (WebP lossless now lives in
+webpcodec.py; JPEG2000/OpenEXR and lossy-VP8 WebP stay deliberate
+exclusions — heavyweight formats far outside this synthetic corpus,
+documented in SURVEY.md §2).
 
 Both formats are public file-layout knowledge:
 

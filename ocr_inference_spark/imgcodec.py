@@ -750,6 +750,8 @@ def sniff_format(data: bytes) -> str:
             pass
     if data[:4] == b"GIF8":
         return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"  # needs 12 sniff bytes (form type at offset 8)
     if data[:2] == b"BM":
         return "bmp"
     if len(data) >= 3 and data[0:1] == b"P" and data[1] in b"123456" and data[2:3].isspace():
@@ -762,7 +764,7 @@ def decode_image(data: bytes) -> np.ndarray:
     of the reference's cv2.imread path: the folder glob's png/jpeg/tiff
     (reference: cli.py:16) plus the BMP and PNM families imread accepts
     through --image (reference: cli.py:114)."""
-    fmt = sniff_format(bytes(data[:8]))
+    fmt = sniff_format(bytes(data[:12]))
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
@@ -775,6 +777,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gifcodec import gif_decode
 
         return gif_decode(data)
+    if fmt == "webp":
+        from .webpcodec import webp_decode
+
+        return webp_decode(data)
     if fmt == "bmp":
         from .bmpcodec import bmp_decode
 

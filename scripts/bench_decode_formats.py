@@ -29,6 +29,7 @@ from ocr_inference_spark.imgcodec import (  # noqa: E402
     tiff_encode,
 )
 from ocr_inference_spark.gifcodec import gif_encode  # noqa: E402
+from ocr_inference_spark.webpcodec import webp_encode  # noqa: E402
 from ocr_inference_spark.jpegcodec import (  # noqa: E402
     jpeg_encode,
     jpeg_encode_progressive,
@@ -49,6 +50,7 @@ def main() -> None:
         "tiff_lzw_pred2": tiff_encode(img, compression="lzw", predictor=2),
         "tiff_deflate_pred2": tiff_encode(img, compression="deflate", predictor=2),
         "gif": gif_encode(img),
+        "webp_lossless": webp_encode(img),
     }
     out = {"page_px": list(img.shape), "reps": reps, "formats": {}}
     for name, blob in variants.items():
@@ -60,7 +62,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         assert res.shape[:2] == img.shape[:2]
         exact = bool(np.array_equal(np.atleast_3d(res)[..., 0], img)) if name.startswith(
-            ("png", "tiff", "gif")
+            ("png", "tiff", "gif", "webp")
         ) else None
         out["formats"][name] = {
             "bytes": len(blob),
