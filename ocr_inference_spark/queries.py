@@ -1447,6 +1447,122 @@ FROM ln
 """
 
 
+def q47_pdf_doc_ocr_fusion(spark, sf_dir):
+    """The scanned-book PDF workflow, WHOLE-CONTAINER, under the hard
+    gate: each synthetic PDF embeds a REAL rendered page image inside
+    its image XObject (FlateDecode bit-exact for even docs, DCTDecode
+    q95 for odd — decoded by this repo's own JPEG codec), so the PDF
+    is both the span document AND the media sidecar. The parser
+    extracts the ordered spans; pdf_extract_media pulls the embedded
+    rasters; the UNCHANGED OCR pipeline recognizes them and splices
+    the line spans. One DuckDB derivation from the documents table
+    hash-checks parse + layout sort + embedded-image decode + OCR +
+    reassembly together."""
+    from .imgcodec import png_encode
+    from .pipeline import extract_spans
+    from .text.pdf_extract import (
+        pdf_extract_media,
+        pdf_extract_spans_df,
+        synth_pdf_corpus,
+    )
+
+    n_docs = 48
+    docs = _t(spark, sf_dir, "documents")
+    corpus = synth_pdf_corpus(spark, docs, n_docs=n_docs)
+
+    rows = pdf_extract_spans_df(corpus)
+    pdf_docs = rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].cast("int").alias("offset"),
+            ),
+        ).alias("spans")
+    )
+
+    import pandas as pd
+
+    def media_kernel(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "content", "width", "height")}
+            for blob in pdf["pdf"]:
+                for name, arr in pdf_extract_media(bytes(blob)).items():
+                    out["media_ref"].append(name)
+                    out["content"].append(png_encode(arr))
+                    out["width"].append(int(arr.shape[1]))
+                    out["height"].append(int(arr.shape[0]))
+            yield pd.DataFrame(out)
+
+    pages = corpus.select("pdf").mapInPandas(
+        media_kernel, schema="media_ref string, content binary, width int, height int"
+    )
+
+    out = extract_spans(spark, pdf_docs, pages, strategy="broadcast")
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def _q47_oracle() -> str:
+    from .glyphs import CHARSET
+    from .text.html_extract import PARA_WIDTH
+
+    w = PARA_WIDTH
+    lw = 28  # synth.page_lines_for window
+    cls = CHARSET.replace("-", "\\-").replace("'", "''")
+    seg = f"trim(substring(cleaned, i * {lw} + 1, {lw}))"
+    line_text = f"CASE WHEN {seg} = '' THEN 'line ' || i ELSE {seg} END"
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_paras,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS has_img,
+    coalesce(text, '') AS text,
+    lower(regexp_replace(lower(text), '[^{cls}]', ' ', 'g')) AS cleaned
+  FROM documents WHERE doc_id < 48
+),
+par AS (
+  SELECT doc_id, i, n_paras, has_img,
+    CASE WHEN seg2 = '' THEN 'paragraph ' || i ELSE seg2 END AS ptext
+  FROM (
+    SELECT doc_id, i, n_paras, has_img,
+      trim(regexp_replace(substring(text, i * {w} + 1, {w}), ' +', ' ', 'g'))
+        AS seg2
+    FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+    WHERE i < n_paras
+  )
+),
+ln AS (
+  SELECT doc_id, i, {line_text} AS line_text
+  FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+  WHERE has_img
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, ptext AS text,
+  CAST(NULL AS VARCHAR) AS media_ref,
+  CAST(CASE WHEN i = 0 THEN 0
+       ELSE i + CASE WHEN has_img THEN 4 ELSE 0 END END AS INTEGER)
+    AS "offset"
+FROM par
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', NULL,
+  printf('img_%08d_00', doc_id), CAST(1 AS INTEGER)
+FROM src WHERE has_img
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text', line_text,
+  printf('img_%08d_00', doc_id), CAST(2 + i AS INTEGER)
+FROM ln
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1506,6 +1622,7 @@ QUERIES = {
     "q44_html_extract_spans": q44_html_extract_spans,
     "q45_pdf_extract_spans": q45_pdf_extract_spans,
     "q46_web_doc_ocr_fusion": q46_web_doc_ocr_fusion,
+    "q47_pdf_doc_ocr_fusion": q47_pdf_doc_ocr_fusion,
 }
 
 ORACLES = {
@@ -1552,6 +1669,7 @@ ORACLES = {
     "q44_html_extract_spans": _q44_oracle(),
     "q45_pdf_extract_spans": _q45_oracle(),
     "q46_web_doc_ocr_fusion": _q46_oracle(),
+    "q47_pdf_doc_ocr_fusion": _q47_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -248,11 +248,78 @@ def _parse_obj(buf: bytes, pos: int):
 # ---------------------------------------------------------------------------
 
 
+def _load_via_xref(data: bytes):
+    """Classic cross-reference-table loader (ISO 32000 §7.5.4): follow
+    startxref -> xref subsections -> trailer (+/Prev chain). Returns
+    None when absent/broken (the scan fallback takes over). The xref
+    path matters once streams carry binary payloads: a JPEG body can
+    contain accidental ``N 0 obj`` byte patterns that a whole-file
+    scan would misparse."""
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", data[sx:])
+    if not m:
+        return None
+    objects: dict[int, object] = {}
+    trailer: dict = {}
+    off = int(m.group(1))
+    visited: set[int] = set()
+    while off not in visited:
+        visited.add(off)
+        if not data.startswith(b"xref", off):
+            return None  # xref *streams* (PDF 1.5) -> scan fallback
+        pos = off + 4
+        while True:
+            if re.match(rb"\s*trailer", data[pos : pos + 16]):
+                break
+            mh = re.match(rb"\s*(\d+)\s+(\d+)[ ]*(?:\r\n|\r|\n)", data[pos:])
+            if not mh:
+                return None
+            start, count = int(mh.group(1)), int(mh.group(2))
+            pos += mh.end()
+            for i in range(count):
+                me = re.match(rb"(\d{10}) (\d{5}) ([nf])", data[pos : pos + 20])
+                if not me:
+                    return None
+                if me.group(3) == b"n":
+                    num = start + i
+                    if num not in objects:  # newest xref section wins
+                        oo = _skip_ws(data, int(me.group(1)))
+                        mo = _OBJ_HEAD_RE.match(data, oo)
+                        if mo and int(mo.group(1)) == num:
+                            try:
+                                objects[num], _ = _parse_obj(data, mo.end())
+                            except ValueError:
+                                pass
+                pos += 20
+        t = data.find(b"trailer", pos)
+        if t < 0:
+            break
+        try:
+            tdict, _ = _parse_obj(data, t + len(b"trailer"))
+        except ValueError:
+            break
+        if isinstance(tdict, dict):
+            for k, v in tdict.items():
+                trailer.setdefault(k, v)
+            prev = tdict.get("Prev")
+            if isinstance(prev, int):
+                off = prev
+                continue
+        break
+    if "Root" not in trailer or not objects:
+        return None
+    return objects, trailer
+
+
 def _load_objects(data: bytes) -> tuple[dict[int, object], dict]:
-    """Scan-based object table + trailer dict. The classic xref table,
-    when present and well-formed, only tells us byte offsets we can
-    find anyway — scanning `N G obj` headers is the tolerant superset
-    (what real-world repair-mode parsers do for broken xrefs)."""
+    """Object table + trailer: the real xref table when valid (robust
+    against binary stream payloads), else a whole-file ``N G obj``
+    scan — what real-world repair-mode parsers do for broken xrefs."""
+    via_xref = _load_via_xref(data)
+    if via_xref is not None:
+        return via_xref
     objects: dict[int, object] = {}
     for m in _OBJ_HEAD_RE.finditer(data):
         num = int(m.group(1))
@@ -425,6 +492,52 @@ def _content_runs(content: bytes, xobject_images: set) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
+def pdf_extract_media(data: bytes) -> dict[str, "np.ndarray"]:
+    """Embedded image XObjects -> {resource_name: gray array}: the
+    scanned-book PDF workflow. FlateDecode rasters decompress
+    bit-exact; DCTDecode bodies run through this repo's own JPEG
+    decoder (jpegcodec) — the whole-container analog of the pages
+    sidecar, so a PDF's images can feed the OCR pipeline directly."""
+    import numpy as np
+
+    objects, trailer = _load_objects(data)
+    resolve = _resolver(objects)
+    root = resolve(trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("PDF has no document catalog")
+    pages: list[dict] = []
+    _walk_pages(objects, resolve, root.get("Pages"), pages)
+    out: dict[str, np.ndarray] = {}
+    for page in pages:
+        res = resolve(page.get("Resources")) or {}
+        xo = resolve(res.get("XObject")) or {}
+        for name, ref in (xo.items() if isinstance(xo, dict) else []):
+            obj = resolve(ref)
+            if not isinstance(obj, Stream) or obj.meta.get("Subtype") != "Image":
+                continue
+            meta = obj.meta
+            iw = resolve(meta.get("Width"))
+            ih = resolve(meta.get("Height"))
+            filt = resolve(meta.get("Filter"))
+            filters = filt if isinstance(filt, list) else [filt] if filt else []
+            if "DCTDecode" in filters:
+                from ..jpegcodec import jpeg_decode
+
+                out[name] = jpeg_decode(obj.raw)
+                continue
+            if resolve(meta.get("BitsPerComponent")) != 8 or resolve(
+                meta.get("ColorSpace")
+            ) != "DeviceGray":
+                raise ValueError(
+                    "only 8-bit DeviceGray / DCTDecode image XObjects decode here"
+                )
+            raw = obj.data(resolve)
+            if len(raw) < iw * ih:
+                raise ValueError("image XObject raster short")
+            out[name] = np.frombuffer(raw[: iw * ih], np.uint8).reshape(ih, iw)
+    return out
+
+
 def pdf_extract_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
     """PDF bytes -> ordered main-content spans [(kind, text, media_ref)]:
     pages in tree order, runs on each page in GEOMETRY order (top-down,
@@ -479,12 +592,45 @@ def pdf_write(
 ) -> bytes:
     """Minimal spec-conformant writer with a real xref table. Each page
     is a list of items in CONTENT-STREAM order:
-    ``('text', s, x, y)`` or ``('image', name, x, y)``."""
+    ``('text', s, x, y)`` or ``('image', name, x, y[, payload])``.
+
+    ``payload`` (optional) embeds REAL raster data in the XObject:
+    a ``(gray_array, 'flate'|'dct')`` tuple — FlateDecode carries the
+    zlib'd raw rows (bit-exact), DCTDecode carries a baseline JPEG
+    from jpegcodec (the classic scanned-book PDF layout). Without a
+    payload a 1x1 stub is embedded (geometry fixtures)."""
     objects: list[bytes] = []  # bodies, object number = index+1
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)
+
+    def image_body(payload) -> bytes:
+        if payload is None:
+            return (
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Length 1 >>\nstream\n\xff\nendstream"
+            )
+        arr, codec = payload
+        ih, iw = arr.shape[:2]
+        if codec == "flate":
+            data = zlib.compress(arr.tobytes())
+            filt = b"/Filter /FlateDecode "
+        elif codec == "dct":
+            from ..jpegcodec import jpeg_encode
+
+            data = jpeg_encode(arr, quality=95)
+            filt = b"/Filter /DCTDecode "
+        else:
+            raise ValueError(f"unknown embedded-image codec {codec!r}")
+        return (
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 ".encode("latin-1")
+            + filt
+            + f"/Length {len(data)} >>".encode("latin-1")
+            + b"\nstream\n" + data + b"\nendstream"
+        )
 
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_refs: list[int] = []
@@ -503,13 +649,10 @@ def pdf_write(
                     f"BT /F1 12 Tf {x} {y} Td ({esc}) Tj ET".encode("latin-1")
                 )
             else:
-                _, name, x, y = item
+                name, x, y = item[1], item[2], item[3]
+                payload = item[4] if len(item) > 4 else None
                 if name not in xobjects:
-                    xobjects[name] = add(
-                        b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-                        b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                        b"/Length 1 >>\nstream\n\xff\nendstream"
-                    )
+                    xobjects[name] = add(image_body(payload))
                 ops.append(f"q 64 0 0 64 {x} {y} cm /{name} Do Q".encode("latin-1"))
         content = b"\n".join(ops)
         if compress:
@@ -570,7 +713,15 @@ def synth_pdf_for(doc_id: int, text: str) -> bytes:
     paragraphs_for), but items are emitted in ROTATED content-stream
     order while their y coordinates encode the logical order — the
     extractor must sort by geometry to recover it. Streams alternate
-    raw / FlateDecode by doc parity."""
+    raw / FlateDecode by doc parity.
+
+    The image XObject carries a REAL rendered page (the q30 synth
+    renderer: page_lines_for golden lines + md5-keyed furniture),
+    embedded FlateDecode (bit-exact) for even docs and DCTDecode q95
+    (binarization-invariant, like the driver-gate JPEG slots) for odd
+    — the scanned-book archive layout the reference ingests."""
+    from ..render import render_page
+    from ..synth import _style_for, page_lines_for
     from .html_extract import _spec_of, paragraphs_for
 
     n_paras, has_img = _spec_of(doc_id)
@@ -578,7 +729,10 @@ def synth_pdf_for(doc_id: int, text: str) -> bytes:
     items: list[tuple] = [("text", paras[0], 72, 720)]
     y = 680
     if has_img:
-        items.append(("image", f"img_{doc_id:08d}_00", 72, y))
+        ref = f"img_{doc_id:08d}_00"
+        page_img = render_page(page_lines_for(text, 3), **_style_for(ref))
+        codec = "dct" if doc_id % 2 else "flate"
+        items.append(("image", ref, 72, y, (page_img, codec)))
         y -= 40
     for p in paras[1:]:
         items.append(("text", p, 72, y))

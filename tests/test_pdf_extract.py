@@ -284,3 +284,74 @@ def test_spark_pdf_spans(spark):
     assert set(by_doc) == set(src)
     for doc_id, spans in by_doc.items():
         assert spans == pdf_extract_spans(bytes(src[doc_id]))
+
+
+# ------------------------------------------------- embedded image payloads
+
+
+def test_embedded_image_payloads_roundtrip():
+    import numpy as np
+
+    from ocr_inference_spark.text.pdf_extract import pdf_extract_media
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    blob = pdf_write(
+        [[("text", "caption", 72, 700), ("image", "Scan0", 72, 600, (img, "flate"))]]
+    )
+    media = pdf_extract_media(blob)
+    assert set(media) == {"Scan0"}
+    assert np.array_equal(media["Scan0"], img)  # FlateDecode is bit-exact
+    # DCTDecode: decoded through jpegcodec, q95 error bounded
+    blob2 = pdf_write([[("image", "ScanJ", 72, 600, (img, "dct"))]])
+    out = pdf_extract_media(blob2)["ScanJ"]
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) < 24
+
+
+def test_xref_loader_survives_obj_pattern_inside_stream():
+    """A binary stream containing the bytes '2 0 obj' must not shadow
+    the real object 2 — the xref path keys off the table offsets."""
+    import numpy as np
+
+    from ocr_inference_spark.text.pdf_extract import pdf_extract_media
+
+    # craft a payload whose compressed bytes contain b"2 0 obj"
+    img = np.frombuffer((b"2 0 obj << /Trap 1 >> " * 40)[:800], np.uint8).reshape(
+        20, 40
+    )
+    blob = pdf_write([[("text", "real text", 72, 700),
+                       ("image", "P", 72, 600, (img, "flate"))]])
+    assert b"startxref" in blob
+    assert pdf_extract_spans(blob) == [
+        ("text", "real text", None),
+        ("media", None, "P"),
+    ]
+    assert np.array_equal(pdf_extract_media(blob)["P"], img)
+
+
+def test_scanned_book_pdf_feeds_ocr():
+    """Whole-container workflow: the PDF's embedded page image OCRs to
+    the exact golden lines (the q47 invariant, single-doc form)."""
+    import numpy as np
+
+    from ocr_inference_spark.imgcodec import png_encode
+    from ocr_inference_spark.model import RecognitionSession, serialize_weights
+    from ocr_inference_spark.page import process_page
+    from ocr_inference_spark.synth import page_lines_for
+    from ocr_inference_spark.text.pdf_extract import (
+        pdf_extract_media,
+        synth_pdf_for,
+    )
+
+    text = "spark native analytics over interleaved documents " * 6
+    for doc_id in (2, 7):  # flate and dct parities; both have has_img
+        from ocr_inference_spark.text.html_extract import _spec_of
+
+        if not _spec_of(doc_id)[1]:
+            continue
+        media = pdf_extract_media(synth_pdf_for(doc_id, text))
+        (arr,) = media.values()
+        res = process_page(png_encode(arr), RecognitionSession(serialize_weights()))
+        assert res.status == "success"
+        assert res.texts == page_lines_for(text, 3)
