@@ -51,6 +51,9 @@ HEADLINE = [
     # surfaces (HTML boilerplate strip + PDF layout parse)
     "q44_html_extract_spans",
     "q45_pdf_extract_spans",
+    # round-5 addition: WARC container ingestion (gzip-member split +
+    # record walk + HTTP transfer decode feeding the HTML extractor)
+    "q48_warc_extract_spans",
 ]
 
 

@@ -1563,6 +1563,133 @@ FROM ln
 """
 
 
+def q48_warc_extract_spans(spark, sf_dir):
+    """WARC ingestion under the hard gate — the container the 100-TB
+    web corpus actually ships in (Common Crawl WARC, ISO 28500): per
+    documents row a deterministic web page is wrapped in a REAL
+    HTTP/1.1 response inside a REAL WARC record, files alternating the
+    Common Crawl member-per-record gzip convention with uncompressed
+    storage, responses alternating Content-Length with chunked
+    transfer coding, with warcinfo/request/metadata records and a
+    robots.txt response interleaved as distractors. The from-scratch
+    reader (text/warc.py) must split gzip members, walk the record
+    grammar, select 200 text/html responses, transfer-decode them, and
+    hand the bytes to the q44 extractor — DuckDB derives the expected
+    spans (+ target URI) relationally from the documents table alone,
+    so hash-equality proves the whole container chain. Reference
+    analogue: the folder-glob image ingest (reference/cli.py:16) —
+    same contract, web wire format."""
+    from .text.html_extract import html_extract_spans
+    from .text.warc import synth_warc_corpus, warc_extract_html
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = warc_extract_html(synth_warc_corpus(spark, docs, n_docs=64))
+    spans = html_extract_spans(pages)
+    urls = pages.select(F.col("doc_id").cast("string").alias("doc_id"), "url")
+    return spans.join(F.broadcast(urls), "doc_id")
+
+
+def _q48_oracle() -> str:
+    return f"""
+SELECT o.*,
+  printf('http://site%d.example/doc/%08d',
+         CAST(o.doc_id AS BIGINT) % 7, CAST(o.doc_id AS BIGINT)) AS url
+FROM ({_q44_oracle()}) o
+"""
+
+
+def q49_warc_cdx_index(spark, sf_dir):
+    """CDX capture indexing — the published access pattern for random
+    record lookup over an archived crawl: per response record emit
+    (url, status, mime, length, digest) where length/digest are of the
+    transfer-decoded payload (invariant to chunked vs content-length
+    framing, per the CDXJ convention; md5-hex instead of Common
+    Crawl's sha1-base32 so the oracle can recompute it — documented
+    deviation, text/warc.py). The DuckDB oracle REBUILDS THE EXACT
+    PAGE BYTES relationally (line table + string_agg) and md5s them —
+    hash-equality pins gzip member split, record framing, HTTP
+    de-chunking, and byte-identical synthesis in one check."""
+    from .text.warc import synth_warc_corpus, warc_cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return warc_cdx_index(synth_warc_corpus(spark, docs, n_docs=64))
+
+
+def _q49_oracle() -> str:
+    from .text.html_extract import PARA_WIDTH
+
+    w = PARA_WIDTH
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_paras,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS has_img,
+    coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 64
+),
+par AS (
+  SELECT doc_id, i, n_paras, has_img,
+    CASE WHEN seg = '' THEN 'paragraph ' || i ELSE seg END AS ptext
+  FROM (
+    SELECT doc_id, i, n_paras, has_img,
+      trim(regexp_replace(substring(text, i * {w} + 1, {w}), ' +', ' ', 'g'))
+        AS seg
+    FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+    WHERE i < n_paras
+  )
+),
+lines AS (
+  SELECT doc_id, 0 AS ln, '<!DOCTYPE html>' AS line FROM src
+  UNION ALL SELECT doc_id, 1,
+    '<html><head><title>site ' || (doc_id % 7) || ' &mdash; page</title>' FROM src
+  UNION ALL SELECT doc_id, 2,
+    '<style>p {{ color: #222; }} /* <p>decoy</p> */</style>' FROM src
+  UNION ALL SELECT doc_id, 3,
+    '<script>if (1 < 2) {{ document.write(''<p>not content</p>''); }}</script>'
+    FROM src
+  UNION ALL SELECT doc_id, 4, '</head><body>' FROM src
+  UNION ALL SELECT doc_id, 5,
+    '<header><h1>Portal ' || (doc_id % 7) || '</h1>' FROM src
+  UNION ALL SELECT doc_id, 6,
+    '<nav><a href="/">home</a> <a href="/a">archive</a> ' ||
+    '<a href="/t">tags</a></nav></header>' FROM src
+  UNION ALL SELECT doc_id, 7, '<div class="content">' FROM src
+  UNION ALL SELECT doc_id, 8, '<p>' || ptext || ' &amp; more</p>'
+    FROM par WHERE i = 0
+  UNION ALL SELECT doc_id, 9,
+    '<img src="img_' || printf('%08d', doc_id) || '_00.png" alt="figure">'
+    FROM src WHERE has_img
+  UNION ALL SELECT doc_id, 10 + i, '<p>' || ptext || '</p>' FROM par WHERE i > 0
+  UNION ALL SELECT doc_id, 20,
+    '<ul class="menu"><li><a href="/1">one</a></li>' ||
+    '<li><a href="/2">two</a></li><li><a href="/3">three</a></li></ul>' FROM src
+  UNION ALL SELECT doc_id, 21, '<div class="advert">BUY NOW limited offer</div>'
+    FROM src
+  UNION ALL SELECT doc_id, 22, '</div>' FROM src
+  UNION ALL SELECT doc_id, 23, '<aside>you may also like: everything</aside>'
+    FROM src
+  UNION ALL SELECT doc_id, 24, '<!-- rendered by synth_html_for -->' FROM src
+  UNION ALL SELECT doc_id, 25, '<footer>&copy; portal archives</footer>' FROM src
+  UNION ALL SELECT doc_id, 26, '</body></html>' FROM src
+),
+pages AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS html
+  FROM lines GROUP BY doc_id
+)
+SELECT printf('http://site%d.example/doc/%08d', doc_id % 7, doc_id) AS url,
+  CAST(200 AS INTEGER) AS status, 'text/html' AS mime,
+  CAST(strlen(html) AS BIGINT) AS length, md5(html) AS digest
+FROM pages
+UNION ALL
+SELECT printf('http://warc%04d.example/robots.txt', fid),
+  CAST(200 AS INTEGER), 'text/plain',
+  CAST(strlen(rb) AS BIGINT), md5(rb)
+FROM (SELECT DISTINCT doc_id // 8 AS fid FROM src)
+CROSS JOIN (SELECT 'User-agent: *' || chr(13) || chr(10) ||
+                   'Disallow: /private/' || chr(13) || chr(10) AS rb)
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1623,6 +1750,8 @@ QUERIES = {
     "q45_pdf_extract_spans": q45_pdf_extract_spans,
     "q46_web_doc_ocr_fusion": q46_web_doc_ocr_fusion,
     "q47_pdf_doc_ocr_fusion": q47_pdf_doc_ocr_fusion,
+    "q48_warc_extract_spans": q48_warc_extract_spans,
+    "q49_warc_cdx_index": q49_warc_cdx_index,
 }
 
 ORACLES = {
@@ -1670,6 +1799,8 @@ ORACLES = {
     "q45_pdf_extract_spans": _q45_oracle(),
     "q46_web_doc_ocr_fusion": _q46_oracle(),
     "q47_pdf_doc_ocr_fusion": _q47_oracle(),
+    "q48_warc_extract_spans": _q48_oracle(),
+    "q49_warc_cdx_index": _q49_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -1,0 +1,173 @@
+"""WARC (ISO 28500) ingestion: record grammar round-trips, the Common
+Crawl member-per-record gzip split, HTTP transfer decoding (chunked +
+content-length), tolerant parsing of damaged archives, and the Spark
+extract / CDX operators."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+
+from ocr_inference_spark.text.html_extract import synth_html_for
+from ocr_inference_spark.text.warc import (
+    ROBOTS_BODY,
+    build_warc_file,
+    http_response_bytes,
+    iter_warc_records,
+    parse_http_response,
+    split_gzip_members,
+    url_of,
+    warc_record,
+)
+
+DOCS = [(i, f"document number {i} body text " * 12) for i in range(8, 16)]
+
+
+# ------------------------------------------------------------- round-trip
+
+
+@pytest.mark.parametrize("file_id", [0, 1])  # gzip-member vs uncompressed
+def test_file_roundtrip_record_inventory(file_id):
+    data = build_warc_file(file_id, DOCS)
+    recs = list(iter_warc_records(data))
+    types = [h["warc-type"] for h, _ in recs]
+    # warcinfo, robots response, then (request, response, metadata) per doc
+    assert types[:2] == ["warcinfo", "response"]
+    assert types[2:] == ["request", "response", "metadata"] * len(DOCS)
+    uris = [h.get("warc-target-uri") for h, _ in recs if h["warc-type"] == "response"]
+    assert uris[1:] == [url_of(d) for d, _ in DOCS]
+
+
+def test_gzip_member_per_record_layout():
+    data = build_warc_file(0, DOCS[:3])
+    members = list(split_gzip_members(data))
+    # one member per record is what makes a 100-TB crawl splittable
+    assert len(members) == 2 + 3 * 3
+    assert all(m.startswith(b"WARC/1.0\r\n") for m in members)
+
+
+def test_non_gzip_input_passes_through_whole():
+    raw = b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    assert list(split_gzip_members(raw)) == [raw]
+
+
+@pytest.mark.parametrize("doc_id", [9, 12])  # 12 % 3 == 0 -> chunked
+def test_response_body_transfer_decodes_to_exact_page_bytes(doc_id):
+    text = dict(DOCS)[doc_id]
+    data = build_warc_file(1, DOCS)
+    for h, payload in iter_warc_records(data):
+        if h["warc-type"] == "response" and h.get("warc-target-uri") == url_of(doc_id):
+            status, hh, body = parse_http_response(payload)
+            assert status == 200
+            expect_chunked = doc_id % 3 == 0
+            assert ("chunked" in hh.get("transfer-encoding", "")) == expect_chunked
+            assert body == synth_html_for(doc_id, text).encode("utf-8")
+            return
+    pytest.fail("response record not found")
+
+
+def test_chunked_decode_with_extension_and_trailing_junk():
+    body = b"A" * 7 + b"B" * 5
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"7;ext=x\r\n" + b"A" * 7 + b"\r\n5\r\n" + b"B" * 5 + b"\r\n0\r\n\r\n"
+        b"IGNORED TRAILER GARBAGE"
+    )
+    assert parse_http_response(raw)[2] == body
+
+
+def test_content_length_trims_record_padding():
+    raw = b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nBODYEXTRA"
+    assert parse_http_response(raw)[2] == b"BODY"
+
+
+# ---------------------------------------------------------- damaged input
+
+
+def test_truncated_gzip_tail_keeps_good_prefix():
+    data = build_warc_file(0, DOCS[:2])
+    cut = data[: len(data) - 40]
+    good = list(iter_warc_records(data))
+    kept = list(iter_warc_records(cut))
+    assert 0 < len(kept) < len(good)
+    assert [h["warc-type"] for h, _ in kept] == [
+        h["warc-type"] for h, _ in good[: len(kept)]
+    ]
+
+
+def test_bad_content_length_resyncs_to_next_record():
+    ok = warc_record("response", http_response_bytes(b"hello", "text/plain"), "http://a/")
+    bad = ok.replace(b"Content-Length: ", b"Content-Length: zz", 1)
+    recs = list(iter_warc_records(bad + ok))
+    assert len(recs) == 1 and recs[0][0]["warc-target-uri"] == "http://a/"
+
+
+def test_leading_garbage_is_skipped():
+    ok = warc_record("metadata", b"k: v\r\n")
+    assert len(list(iter_warc_records(b"\x00garbage bytes\xff" + ok))) == 1
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"",
+        b"HTTP/1.1\r\n\r\n",  # no status code
+        b"HTTP/1.1 2xx OK\r\n\r\n",  # non-numeric status
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nAB",  # cut chunk
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n",  # bad size
+    ],
+)
+def test_malformed_http_returns_none(raw):
+    assert parse_http_response(raw) is None
+
+
+def test_corrupt_gzip_member_midstream_stops_cleanly():
+    m1 = zlib.compress(b"x")  # not gzip-wrapped: exercises the guard
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    g1 = co.compress(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n") + co.flush()
+    corrupted = g1 + b"\x1f\x8b" + m1[:10]
+    assert len(list(split_gzip_members(corrupted))) == 1
+
+
+# --------------------------------------------------------- spark operators
+
+
+def test_warc_extract_html_recovers_every_document(spark, tmp_path):
+    import pandas as pd
+
+    from ocr_inference_spark.text.warc import warc_extract_html
+
+    pdf = pd.DataFrame(
+        {
+            "warc_name": ["a.warc", "b.warc"],
+            "data": [build_warc_file(0, DOCS[:4]), build_warc_file(1, DOCS[4:])],
+        }
+    )
+    out = warc_extract_html(spark.createDataFrame(pdf)).collect()
+    got = {r.doc_id: (r.url, r.html) for r in out}
+    assert sorted(got) == [d for d, _ in DOCS]
+    for doc_id, text in DOCS:
+        assert got[doc_id] == (url_of(doc_id), synth_html_for(doc_id, text))
+
+
+def test_warc_cdx_index_digests_match_hashlib(spark):
+    import pandas as pd
+
+    from ocr_inference_spark.text.warc import warc_cdx_index
+
+    pdf = pd.DataFrame(
+        {"warc_name": ["a.warc"], "data": [build_warc_file(0, DOCS[:3])]}
+    )
+    rows = warc_cdx_index(spark.createDataFrame(pdf)).collect()
+    by_url = {r.url: r for r in rows}
+    robots = by_url["http://warc0000.example/robots.txt"]
+    assert robots.mime == "text/plain"
+    assert robots.length == len(ROBOTS_BODY)
+    assert robots.digest == hashlib.md5(ROBOTS_BODY).hexdigest()
+    for doc_id, text in DOCS[:3]:
+        body = synth_html_for(doc_id, text).encode("utf-8")
+        r = by_url[url_of(doc_id)]
+        assert (r.mime, r.status, r.length) == ("text/html", 200, len(body))
+        assert r.digest == hashlib.md5(body).hexdigest()
