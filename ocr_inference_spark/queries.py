@@ -1690,6 +1690,53 @@ CROSS JOIN (SELECT 'User-agent: *' || chr(13) || chr(10) ||
 """
 
 
+def q50_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain rollup — crawl-side
+    dedup's first step (the same capture fetched under case/port/
+    fragment/dot-segment/percent-encoding/tracking-param variations is
+    ONE document). A deterministic messy capture log (4 raw variants
+    per document exercising every RFC 3986 §6 rule plus the crawl
+    conventions: tracking-param strip, query sort, fragment drop;
+    doc_id %% 5 == 0 docs live on a co.uk host to exercise the
+    public-suffix multi-label rule) is canonicalized by
+    text/urlnorm.py, then rolled up by (url_norm, domain). DuckDB
+    derives the expected CLEAN forms and collapse counts from doc_id
+    alone — Spark must actually normalize the messy strings to match.
+    Plan: synth + normalize are shuffle-free mapInPandas; the rollup
+    is one hash aggregate — a single narrow shuffle at 10^12 captures."""
+    from .text.urlnorm import normalize_urls, synth_messy_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = normalize_urls(synth_messy_urls(spark, docs, n_docs=64))
+    return (
+        captures.groupBy("url_norm", "domain")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
+def _q50_oracle() -> str:
+    return """
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'media.site' || (doc_id % 7) || '.co.uk'
+         ELSE 'site' || (doc_id % 7) || '.example' END AS host,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'site' || (doc_id % 7) || '.co.uk'
+         ELSE 'site' || (doc_id % 7) || '.example' END AS domain
+  FROM documents WHERE doc_id < 64
+),
+clean AS (
+  SELECT doc_id, domain,
+    'http://' || host || '/doc/' || printf('%08d', doc_id) AS base
+  FROM src
+)
+SELECT base AS url_norm, domain, CAST(3 AS BIGINT) AS n_variants FROM clean
+UNION ALL
+SELECT base || '?a=1&b=2', domain, CAST(1 AS BIGINT) FROM clean
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1752,6 +1799,7 @@ QUERIES = {
     "q47_pdf_doc_ocr_fusion": q47_pdf_doc_ocr_fusion,
     "q48_warc_extract_spans": q48_warc_extract_spans,
     "q49_warc_cdx_index": q49_warc_cdx_index,
+    "q50_url_canonicalize": q50_url_canonicalize,
 }
 
 ORACLES = {
@@ -1801,6 +1849,7 @@ ORACLES = {
     "q47_pdf_doc_ocr_fusion": _q47_oracle(),
     "q48_warc_extract_spans": _q48_oracle(),
     "q49_warc_cdx_index": _q49_oracle(),
+    "q50_url_canonicalize": _q50_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
