@@ -1737,6 +1737,40 @@ SELECT base || '?a=1&b=2', domain, CAST(1 AS BIGINT) FROM clean
 """
 
 
+def q51_crawl_dedup_extract(spark, sf_dir):
+    """The crawl chain COMPOSED under one hash gate: the WARC corpus
+    now archives every page TWICE — once at its clean URI, once under
+    a messy re-crawl URI (uppercase host, explicit :80, dot-segments,
+    fragment) with the OPPOSITE transfer framing — and the pipeline
+    must (1) pull all text/html captures out of the container,
+    (2) canonicalize capture URIs (text/urlnorm.py), (3) collapse
+    duplicate captures on the canonical key, and (4) extract spans
+    from the surviving copy. The oracle is EXACTLY q48's: if
+    normalization misses a rule or dedup keeps both captures, rows
+    double and the hash breaks. Plan: file-group exchange, shuffle-free
+    capture+normalize kernels, ONE hash-agg on the canonical key (the
+    10^12-capture dedup shape), spans kernel, broadcast url join."""
+    from .text.html_extract import html_extract_spans
+    from .text.urlnorm import normalize_urls
+    from .text.warc import synth_warc_corpus, warc_extract_captures
+
+    docs = _t(spark, sf_dir, "documents")
+    warcs = synth_warc_corpus(spark, docs, n_docs=64, dup_captures=True)
+    caps = normalize_urls(warc_extract_captures(warcs))
+    # identical bodies by construction -> max is deterministic
+    pages = (
+        caps.groupBy("url_norm")
+        .agg(F.max("html").alias("html"))
+        .withColumn(
+            "doc_id", F.regexp_extract("url_norm", r"/doc/(\d{8})$", 1).cast("long")
+        )
+        .withColumnRenamed("url_norm", "url")
+    )
+    spans = html_extract_spans(pages)
+    urls = pages.select(F.col("doc_id").cast("string").alias("doc_id"), "url")
+    return spans.join(F.broadcast(urls), "doc_id")
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1800,6 +1834,7 @@ QUERIES = {
     "q48_warc_extract_spans": q48_warc_extract_spans,
     "q49_warc_cdx_index": q49_warc_cdx_index,
     "q50_url_canonicalize": q50_url_canonicalize,
+    "q51_crawl_dedup_extract": q51_crawl_dedup_extract,
 }
 
 ORACLES = {
@@ -1850,6 +1885,7 @@ ORACLES = {
     "q48_warc_extract_spans": _q48_oracle(),
     "q49_warc_cdx_index": _q49_oracle(),
     "q50_url_canonicalize": _q50_oracle(),
+    "q51_crawl_dedup_extract": _q48_oracle(),  # dedup must restore q48
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

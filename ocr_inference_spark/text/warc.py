@@ -126,13 +126,26 @@ def _gzip_member(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
-def build_warc_file(file_id: int, docs: list[tuple[int, str]]) -> bytes:
+def messy_url_of(doc_id: int) -> str:
+    """A second capture URI for the same page: uppercase host, explicit
+    default port, dot-segments, fragment — canonicalizes to
+    ``url_of(doc_id)`` under RFC 3986 §6 (text/urlnorm.py)."""
+    k = doc_id % 7
+    return f"HTTP://SITE{k}.EXAMPLE:80/a/../doc/./{doc_id:08d}#dup"
+
+
+def build_warc_file(
+    file_id: int, docs: list[tuple[int, str]], dup_captures: bool = False
+) -> bytes:
     """One synthetic WARC file: warcinfo, a robots.txt fetch, then per
     document a request/response/metadata triple. The response body is
     the q44 deterministic web page. Even file ids use the Common Crawl
     member-per-record gzip convention; odd ids are stored uncompressed
     (both paths must parse). Responses for doc_id % 3 == 0 use chunked
-    transfer coding (the reader must de-chunk)."""
+    transfer coding (the reader must de-chunk). With ``dup_captures``
+    every page is archived a SECOND time under its messy URI
+    (``messy_url_of``) with the opposite transfer framing — the
+    re-crawl duplicate that canonical-URL dedup must collapse."""
     info = (
         f"software: ocr-inference-spark-synth\r\nformat: WARC File Format 1.0\r\n"
         f"warc-file: synth-{file_id:04d}.warc\r\n"
@@ -161,6 +174,16 @@ def build_warc_file(file_id: int, docs: list[tuple[int, str]]) -> bytes:
         records.append(
             warc_record("metadata", b"fetchTimeMs: 7\r\n", url)
         )
+        if dup_captures:
+            records.append(
+                warc_record(
+                    "response",
+                    http_response_bytes(
+                        html, "text/html; charset=utf-8", chunked=doc_id % 3 != 0
+                    ),
+                    messy_url_of(doc_id),
+                )
+            )
     if file_id % 2 == 0:
         return b"".join(_gzip_member(r) for r in records)
     return b"".join(records)
@@ -295,6 +318,7 @@ def synth_warc_corpus(
     docs_df: DataFrame,
     n_docs: int = 64,
     docs_per_file: int = 8,
+    dup_captures: bool = False,
 ) -> DataFrame:
     """documents -> (warc_name, data) files, built executor-side. One
     shuffle (group docs onto their file id); each file's bytes are a
@@ -314,7 +338,7 @@ def synth_warc_corpus(
         return pd.DataFrame(
             {
                 "warc_name": [f"synth-{file_id:04d}.warc"],
-                "data": [build_warc_file(file_id, docs)],
+                "data": [build_warc_file(file_id, docs, dup_captures)],
             }
         )
 
@@ -354,6 +378,34 @@ def warc_extract_html(warc_df: DataFrame) -> DataFrame:
     return warc_df.select("data").mapInPandas(
         kernel, schema="doc_id long, url string, html string"
     )
+
+
+def warc_extract_captures(warc_df: DataFrame) -> DataFrame:
+    """(warc_name, data) -> (url, html) for every 200 text/html
+    response, capture URI passed through RAW (no doc-id recovery, no
+    canonicalization) — the input shape for URL-canonicalization dedup
+    over a crawl that archived the same page under variant URIs. Zero
+    shuffle."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "html": []}
+            for data in pdf["data"]:
+                for headers, payload in iter_warc_records(bytes(data)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    resp = parse_http_response(payload)
+                    if resp is None:
+                        continue
+                    status, hh, body = resp
+                    if status != 200 or _mime_of(hh) != "text/html":
+                        continue
+                    out["url"].append(headers.get("warc-target-uri", ""))
+                    out["html"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return warc_df.select("data").mapInPandas(kernel, schema="url string, html string")
 
 
 def warc_cdx_index(warc_df: DataFrame) -> DataFrame:

@@ -131,6 +131,37 @@ def test_corrupt_gzip_member_midstream_stops_cleanly():
     assert len(list(split_gzip_members(corrupted))) == 1
 
 
+# ----------------------------------------------------- duplicate captures
+
+
+def test_dup_captures_archives_each_page_twice_with_opposite_framing():
+    from ocr_inference_spark.text.warc import messy_url_of
+
+    data = build_warc_file(1, DOCS[:3], dup_captures=True)
+    html_resps = []
+    for h, payload in iter_warc_records(data):
+        if h["warc-type"] == "response" and "html" in payload[:200].decode("ascii", "replace"):
+            html_resps.append((h["warc-target-uri"], payload))
+    assert len(html_resps) == 6  # 3 docs x 2 captures
+    by_uri = dict(html_resps)
+    for doc_id, text in DOCS[:3]:
+        clean = parse_http_response(by_uri[url_of(doc_id)])
+        messy = parse_http_response(by_uri[messy_url_of(doc_id)])
+        assert clean[2] == messy[2] == synth_html_for(doc_id, text).encode()
+        # opposite transfer framing on the re-crawl capture
+        c_chunked = "chunked" in clean[1].get("transfer-encoding", "")
+        m_chunked = "chunked" in messy[1].get("transfer-encoding", "")
+        assert c_chunked != m_chunked
+
+
+def test_messy_capture_uri_canonicalizes_to_clean():
+    from ocr_inference_spark.text.urlnorm import normalize_url
+    from ocr_inference_spark.text.warc import messy_url_of
+
+    for doc_id in (0, 9, 12, 63):
+        assert normalize_url(messy_url_of(doc_id)) == url_of(doc_id)
+
+
 # --------------------------------------------------------- spark operators
 
 
@@ -150,6 +181,25 @@ def test_warc_extract_html_recovers_every_document(spark, tmp_path):
     assert sorted(got) == [d for d, _ in DOCS]
     for doc_id, text in DOCS:
         assert got[doc_id] == (url_of(doc_id), synth_html_for(doc_id, text))
+
+
+def test_capture_dedup_collapses_to_one_row_per_page(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.text.urlnorm import normalize_urls
+    from ocr_inference_spark.text.warc import warc_extract_captures
+
+    pdf = pd.DataFrame(
+        {"warc_name": ["a.warc"], "data": [build_warc_file(0, DOCS[:4], True)]}
+    )
+    caps = normalize_urls(warc_extract_captures(spark.createDataFrame(pdf)))
+    assert caps.count() == 8  # 4 pages x 2 captures
+    deduped = caps.groupBy("url_norm").agg(F.max("html").alias("html"))
+    rows = {r.url_norm: r.html for r in deduped.collect()}
+    assert sorted(rows) == [url_of(d) for d, _ in DOCS[:4]]
+    for doc_id, text in DOCS[:4]:
+        assert rows[url_of(doc_id)] == synth_html_for(doc_id, text)
 
 
 def test_warc_cdx_index_digests_match_hashlib(spark):
