@@ -1571,9 +1571,12 @@ def q48_warc_extract_spans(spark, sf_dir):
     Common Crawl member-per-record gzip convention with uncompressed
     storage, responses alternating Content-Length with chunked
     transfer coding, with warcinfo/request/metadata records and a
-    robots.txt response interleaved as distractors. The from-scratch
+    robots.txt response interleaved as distractors, and page entities
+    rotating gzip / deflate / identity content-codings under the
+    transfer framing (the Common Crawl reality). The from-scratch
     reader (text/warc.py) must split gzip members, walk the record
-    grammar, select 200 text/html responses, transfer-decode them, and
+    grammar, select 200 text/html responses, transfer-decode them,
+    content-decode them, and
     hand the bytes to the q44 extractor — DuckDB derives the expected
     spans (+ target URI) relationally from the documents table alone,
     so hash-equality proves the whole container chain. Reference
@@ -1583,7 +1586,9 @@ def q48_warc_extract_spans(spark, sf_dir):
     from .text.warc import synth_warc_corpus, warc_extract_html
 
     docs = _t(spark, sf_dir, "documents")
-    pages = warc_extract_html(synth_warc_corpus(spark, docs, n_docs=64))
+    pages = warc_extract_html(
+        synth_warc_corpus(spark, docs, n_docs=64, content_encoding=True)
+    )
     spans = html_extract_spans(pages)
     urls = pages.select(F.col("doc_id").cast("string").alias("doc_id"), "url")
     return spans.join(F.broadcast(urls), "doc_id")
@@ -1755,7 +1760,9 @@ def q51_crawl_dedup_extract(spark, sf_dir):
     from .text.warc import synth_warc_corpus, warc_extract_captures
 
     docs = _t(spark, sf_dir, "documents")
-    warcs = synth_warc_corpus(spark, docs, n_docs=64, dup_captures=True)
+    warcs = synth_warc_corpus(
+        spark, docs, n_docs=64, dup_captures=True, content_encoding=True
+    )
     caps = normalize_urls(warc_extract_captures(warcs))
     # identical bodies by construction -> max is deterministic
     pages = (

@@ -71,10 +71,26 @@ def robots_url_of(file_id: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def http_response_bytes(body: bytes, mime: str, chunked: bool = False) -> bytes:
+def http_response_bytes(
+    body: bytes,
+    mime: str,
+    chunked: bool = False,
+    content_encoding: str | None = None,
+) -> bytes:
     """Minimal valid HTTP/1.1 response, Content-Length or chunked
-    framing (RFC 9112 §6/§7)."""
+    framing (RFC 9112 §6/§7). ``content_encoding`` ("gzip"/"deflate")
+    compresses the entity FIRST and then applies the transfer framing
+    over the compressed bytes — the RFC 9110 §8.4 layering real
+    origin servers use."""
     head = [b"HTTP/1.1 200 OK", b"Content-Type: " + mime.encode("ascii")]
+    if content_encoding == "gzip":
+        body = _gzip_member(body)
+        head.append(b"Content-Encoding: gzip")
+    elif content_encoding == "deflate":
+        body = zlib.compress(body, 6)
+        head.append(b"Content-Encoding: deflate")
+    elif content_encoding is not None:
+        raise ValueError(f"unsupported content_encoding {content_encoding!r}")
     if chunked:
         head.append(b"Transfer-Encoding: chunked")
         out = []
@@ -134,8 +150,17 @@ def messy_url_of(doc_id: int) -> str:
     return f"HTTP://SITE{k}.EXAMPLE:80/a/../doc/./{doc_id:08d}#dup"
 
 
+#: content-coding rotation for ``content_encoding=True`` corpora — two
+#: gzip slots, one deflate, two identity, composed with the chunked
+#: rotation so chunked-over-gzip (the Common Crawl common case) occurs.
+_CE_ROTATION = (None, "gzip", None, "deflate", "gzip")
+
+
 def build_warc_file(
-    file_id: int, docs: list[tuple[int, str]], dup_captures: bool = False
+    file_id: int,
+    docs: list[tuple[int, str]],
+    dup_captures: bool = False,
+    content_encoding: bool = False,
 ) -> bytes:
     """One synthetic WARC file: warcinfo, a robots.txt fetch, then per
     document a request/response/metadata triple. The response body is
@@ -145,7 +170,10 @@ def build_warc_file(
     transfer coding (the reader must de-chunk). With ``dup_captures``
     every page is archived a SECOND time under its messy URI
     (``messy_url_of``) with the opposite transfer framing — the
-    re-crawl duplicate that canonical-URL dedup must collapse."""
+    re-crawl duplicate that canonical-URL dedup must collapse. With
+    ``content_encoding`` page responses rotate gzip / deflate /
+    identity content-codings (``_CE_ROTATION``) under the transfer
+    framing — the reader must content-decode after de-chunking."""
     info = (
         f"software: ocr-inference-spark-synth\r\nformat: WARC File Format 1.0\r\n"
         f"warc-file: synth-{file_id:04d}.warc\r\n"
@@ -161,12 +189,16 @@ def build_warc_file(
     for doc_id, text in sorted(docs):
         url = url_of(doc_id)
         html = synth_html_for(doc_id, text or "").encode("utf-8")
+        ce = _CE_ROTATION[doc_id % 5] if content_encoding else None
         records.append(warc_record("request", http_request_bytes(url), url))
         records.append(
             warc_record(
                 "response",
                 http_response_bytes(
-                    html, "text/html; charset=utf-8", chunked=doc_id % 3 == 0
+                    html,
+                    "text/html; charset=utf-8",
+                    chunked=doc_id % 3 == 0,
+                    content_encoding=ce,
                 ),
                 url,
             )
@@ -179,7 +211,10 @@ def build_warc_file(
                 warc_record(
                     "response",
                     http_response_bytes(
-                        html, "text/html; charset=utf-8", chunked=doc_id % 3 != 0
+                        html,
+                        "text/html; charset=utf-8",
+                        chunked=doc_id % 3 != 0,
+                        content_encoding=ce,
                     ),
                     messy_url_of(doc_id),
                 )
@@ -304,6 +339,36 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes] | N
     return status, headers, body
 
 
+def decode_content(headers: dict[str, str], body: bytes) -> bytes | None:
+    """Undo HTTP content-codings (RFC 9110 §8.4) AFTER transfer
+    decoding: gzip/x-gzip (tolerant of servers that actually sent zlib
+    — wbits 47 auto-detects), deflate (zlib per spec, raw-deflate
+    fallback for the broken-server convention), identity. Layered
+    codings ("gzip, gzip") are undone right-to-left. Returns None on
+    an unknown coding or a damaged stream — the caller skips the
+    capture, matching the tolerant-reader posture of the rest of the
+    record walk."""
+    ce = headers.get("content-encoding", "").strip().lower()
+    if not ce:
+        return body
+    for coding in reversed([c.strip() for c in ce.split(",")]):
+        if coding in ("", "identity"):
+            continue
+        try:
+            if coding in ("gzip", "x-gzip"):
+                body = zlib.decompress(body, 47)
+            elif coding == "deflate":
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    body = zlib.decompress(body, -15)
+            else:
+                return None
+        except zlib.error:
+            return None
+    return body
+
+
 def _mime_of(headers: dict[str, str]) -> str:
     return headers.get("content-type", "").split(";")[0].strip().lower()
 
@@ -319,6 +384,7 @@ def synth_warc_corpus(
     n_docs: int = 64,
     docs_per_file: int = 8,
     dup_captures: bool = False,
+    content_encoding: bool = False,
 ) -> DataFrame:
     """documents -> (warc_name, data) files, built executor-side. One
     shuffle (group docs onto their file id); each file's bytes are a
@@ -338,7 +404,9 @@ def synth_warc_corpus(
         return pd.DataFrame(
             {
                 "warc_name": [f"synth-{file_id:04d}.warc"],
-                "data": [build_warc_file(file_id, docs, dup_captures)],
+                "data": [
+                    build_warc_file(file_id, docs, dup_captures, content_encoding)
+                ],
             }
         )
 
@@ -365,6 +433,9 @@ def warc_extract_html(warc_df: DataFrame) -> DataFrame:
                         continue
                     status, hh, body = resp
                     if status != 200 or _mime_of(hh) != "text/html":
+                        continue
+                    body = decode_content(hh, body)
+                    if body is None:
                         continue
                     url = headers.get("warc-target-uri", "")
                     m = _DOC_URL_RE.search(url)
@@ -400,6 +471,9 @@ def warc_extract_captures(warc_df: DataFrame) -> DataFrame:
                         continue
                     status, hh, body = resp
                     if status != 200 or _mime_of(hh) != "text/html":
+                        continue
+                    body = decode_content(hh, body)
+                    if body is None:
                         continue
                     out["url"].append(headers.get("warc-target-uri", ""))
                     out["html"].append(body.decode("utf-8", "replace"))

@@ -131,6 +131,92 @@ def test_corrupt_gzip_member_midstream_stops_cleanly():
     assert len(list(split_gzip_members(corrupted))) == 1
 
 
+# ----------------------------------------------------- content codings
+
+
+def test_content_encoding_rotation_roundtrips_every_page():
+    from ocr_inference_spark.text.warc import _CE_ROTATION, decode_content
+
+    data = build_warc_file(0, DOCS, content_encoding=True)
+    seen = {}
+    for h, payload in iter_warc_records(data):
+        if h["warc-type"] != "response" or "robots" in h.get("warc-target-uri", ""):
+            continue
+        status, hh, body = parse_http_response(payload)
+        assert status == 200
+        body = decode_content(hh, body)
+        seen[h["warc-target-uri"]] = (hh.get("content-encoding"), body)
+    codings = set()
+    for doc_id, text in DOCS:
+        ce, body = seen[url_of(doc_id)]
+        assert ce == _CE_ROTATION[doc_id % 5]
+        assert body == synth_html_for(doc_id, text).encode()
+        codings.add(ce)
+    assert codings == {None, "gzip", "deflate"}  # rotation actually exercised
+
+
+def test_chunked_over_gzip_layering():
+    # RFC 9110 §8.4: entity gzipped first, THEN chunked framing on top.
+    body = b"<html>x</html>" * 40
+    raw = http_response_bytes(body, "text/html", chunked=True, content_encoding="gzip")
+    from ocr_inference_spark.text.warc import decode_content
+
+    status, hh, dechunked = parse_http_response(raw)
+    assert "chunked" in hh["transfer-encoding"]
+    assert dechunked[:2] == b"\x1f\x8b"  # still gzip after de-chunking
+    assert decode_content(hh, dechunked) == body
+
+
+def test_decode_content_tolerant_paths():
+    from ocr_inference_spark.text.warc import decode_content
+
+    body = b"payload bytes " * 9
+    gz = zlib.compress(body, 6)
+    wrapped = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gzip_bytes = wrapped.compress(body) + wrapped.flush()
+    assert decode_content({}, body) == body
+    assert decode_content({"content-encoding": "identity"}, body) == body
+    assert decode_content({"content-encoding": "gzip"}, gzip_bytes) == body
+    # server said gzip but sent zlib — wbits 47 auto-detects
+    assert decode_content({"content-encoding": "x-gzip"}, gz) == body
+    assert decode_content({"content-encoding": "deflate"}, gz) == body
+    # broken-server raw deflate under the deflate label
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    assert (
+        decode_content({"content-encoding": "deflate"}, raw.compress(body) + raw.flush())
+        == body
+    )
+    # layered codings undone right-to-left (each layer auto-detected)
+    assert decode_content({"content-encoding": "gzip, gzip"}, zlib.compress(gz, 6)) == body
+    double = zlib.compress(zlib.compress(body))
+    assert decode_content({"content-encoding": "deflate , deflate"}, double) == body
+    # unknown coding and damaged stream are skip signals, not crashes
+    assert decode_content({"content-encoding": "br"}, body) is None
+    assert decode_content({"content-encoding": "gzip"}, gzip_bytes[:-4][::-1]) is None
+
+
+def test_damaged_content_encoded_capture_is_skipped(spark):
+    import pandas as pd
+
+    from ocr_inference_spark.text.warc import warc_extract_html
+
+    data = build_warc_file(1, DOCS, content_encoding=True)
+    # corrupt the deflate-coded capture's entity mid-stream: doc 13 is
+    # a deflate slot (13 % 5 == 3) with content-length framing (13 % 3 != 0)
+    victim = None
+    for h, payload in iter_warc_records(data):
+        if h["warc-type"] == "response" and h.get("warc-target-uri") == url_of(13):
+            _, hh, body = parse_http_response(payload)
+            if hh.get("content-encoding") == "deflate":
+                victim = body
+    assert victim is not None and len(victim) > 20
+    corrupted = data.replace(victim, victim[:10] + victim[10:][::-1])
+    pdf = pd.DataFrame({"warc_name": ["a.warc"], "data": [corrupted]})
+    got = warc_extract_html(spark.createDataFrame(pdf)).collect()
+    ids = sorted(r.doc_id for r in got)
+    assert ids == [8, 9, 10, 11, 12, 14, 15]  # only the damaged capture dropped
+
+
 # ----------------------------------------------------- duplicate captures
 
 
