@@ -1778,6 +1778,107 @@ def q51_crawl_dedup_extract(spark, sf_dir):
     return spans.join(F.broadcast(urls), "doc_id")
 
 
+def q52_template_removal(spark, sf_dir):
+    """Cross-page boilerplate removal — the corpus-level half of the
+    north rule's 'HTML boilerplate strip': every page of a site carries
+    two CONTENT-SHAPED template paragraphs (plain <p>, no class/id, no
+    links — invisible to the q44 single-page heuristics by
+    construction); the CCNet-style domain-frequency rule
+    (text/boilerplate.py) must find them by counting distinct pages per
+    (registrable domain, block md5) and anti-join them out, then
+    re-rank offsets densely. The DuckDB oracle MIRRORS THE RULE
+    relationally (derives the injected corpus spans from documents,
+    computes the same per-site block frequencies, filters with the same
+    threshold, re-ranks) — so Spark and SQL must agree on semantics,
+    including any accidentally-frequent real paragraph, not just on the
+    planted fixtures. Plan: one md5-keyed hash-agg over text spans,
+    tiny template dictionary broadcast anti-join, per-doc window
+    re-rank; page bodies never shuffle."""
+    from .text.boilerplate import strip_template_blocks, synth_boiler_corpus
+    from .text.html_extract import html_extract_spans
+    from .text.urlnorm import normalize_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = synth_boiler_corpus(spark, docs, n_docs=64)
+    doms = normalize_urls(pages.select("doc_id", "url")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "domain"
+    )
+    spans = html_extract_spans(pages).join(F.broadcast(doms), "doc_id")
+    out = strip_template_blocks(spans)
+    return out.select("doc_id", "kind", "text", "media_ref", "offset", "domain")
+
+
+def _q52_oracle() -> str:
+    from .text.html_extract import PARA_WIDTH
+
+    w = PARA_WIDTH
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3 AS n_paras,
+    ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0 AS has_img,
+    coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 64
+),
+par AS (
+  SELECT doc_id, i, n_paras, has_img,
+    CASE WHEN seg = '' THEN 'paragraph ' || i ELSE seg END AS ptext
+  FROM (
+    SELECT doc_id, i, n_paras, has_img,
+      trim(regexp_replace(substring(text, i * {w} + 1, {w}), ' +', ' ', 'g'))
+        AS seg
+    FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) g
+    WHERE i < n_paras
+  )
+),
+spans0 AS (
+  SELECT doc_id, 'text' AS kind,
+    'Subscribe to the Portal ' || (doc_id % 7) ||
+      ' newsletter for daily updates' AS text,
+    CAST(NULL AS VARCHAR) AS media_ref, 0 AS off
+  FROM src
+  UNION ALL
+  SELECT doc_id, 'text',
+    CASE WHEN i = 0 THEN ptext || ' & more' ELSE ptext END,
+    NULL,
+    1 + i + CASE WHEN has_img AND i > 0 THEN 1 ELSE 0 END
+  FROM par
+  UNION ALL
+  SELECT doc_id, 'media', NULL, printf('img_%08d_00.png', doc_id), 2
+  FROM src WHERE has_img
+  UNION ALL
+  SELECT doc_id, 'text',
+    'Portal ' || (doc_id % 7) || ' is a reader-supported publication',
+    NULL, 1 + n_paras + CASE WHEN has_img THEN 1 ELSE 0 END
+  FROM src
+),
+counts AS (
+  SELECT doc_id % 7 AS site, md5(lower(trim(text))) AS bk,
+    count(DISTINCT doc_id) AS c
+  FROM spans0 WHERE kind = 'text' GROUP BY 1, 2
+),
+pages AS (
+  SELECT doc_id % 7 AS site, count(DISTINCT doc_id) AS n FROM spans0 GROUP BY 1
+),
+boiler AS (
+  SELECT site, bk FROM counts JOIN pages USING (site)
+  WHERE c >= greatest(2, CAST(ceil(0.6 * n) AS BIGINT))
+),
+kept AS (
+  SELECT s.doc_id, s.kind, s.text, s.media_ref, s.off
+  FROM spans0 s LEFT JOIN boiler b
+    ON b.site = s.doc_id % 7 AND s.kind = 'text'
+       AND b.bk = md5(lower(trim(s.text)))
+  WHERE b.bk IS NULL
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, kind, text, media_ref,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS INTEGER)
+    AS "offset",
+  'site' || (doc_id % 7) || '.example' AS domain
+FROM kept
+"""
+
+
 def q43_stream_hourly_rollup(spark, sf_dir):
     """Structured Streaming under the hard gate: the q29 hourly rollup
     run as a REAL readStream -> windowed agg -> writeStream job
@@ -1842,6 +1943,7 @@ QUERIES = {
     "q49_warc_cdx_index": q49_warc_cdx_index,
     "q50_url_canonicalize": q50_url_canonicalize,
     "q51_crawl_dedup_extract": q51_crawl_dedup_extract,
+    "q52_template_removal": q52_template_removal,
 }
 
 ORACLES = {
@@ -1893,6 +1995,7 @@ ORACLES = {
     "q49_warc_cdx_index": _q49_oracle(),
     "q50_url_canonicalize": _q50_oracle(),
     "q51_crawl_dedup_extract": _q48_oracle(),  # dedup must restore q48
+    "q52_template_removal": _q52_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -288,13 +288,20 @@ def paragraphs_for(doc_id: int, text: str) -> list[str]:
     return out
 
 
-def synth_html_for(doc_id: int, text: str) -> str:
+def synth_html_for(
+    doc_id: int, text: str, template_blocks: tuple[str, str] | None = None
+) -> str:
     """One deterministic web page: real site chrome (head scripts and
     styles with decoy text, header+nav, link-soup menu inside the
     content div, advert div, aside, footer — ALL of which the extractor
     must strip) around the derived main-content paragraphs and an
     optional in-content image. Paragraph 0 carries an entity-encoded
-    suffix so entity decoding sits under the oracle gate."""
+    suffix so entity decoding sits under the oracle gate.
+    ``template_blocks`` = (top, bottom) injects two CONTENT-SHAPED
+    boilerplate paragraphs (plain <p>, no class/id hint, no links —
+    invisible to the single-page heuristics by construction) at the
+    start and end of the content div: the cross-page template that only
+    domain-frequency analysis (text/boilerplate.py) can remove."""
     n_paras, has_img = _spec_of(doc_id)
     paras = paragraphs_for(doc_id, text)
     body = [
@@ -307,12 +314,16 @@ def synth_html_for(doc_id: int, text: str) -> str:
         '<nav><a href="/">home</a> <a href="/a">archive</a> '
         '<a href="/t">tags</a></nav></header>',
         '<div class="content">',
-        f"<p>{paras[0]} &amp; more</p>",
     ]
+    if template_blocks is not None:
+        body.append(f"<p>{template_blocks[0]}</p>")
+    body.append(f"<p>{paras[0]} &amp; more</p>")
     if has_img:
         body.append(f'<img src="img_{doc_id:08d}_00.png" alt="figure">')
     for i, p in enumerate(paras[1:], start=1):
         body.append(f"<p>{p}</p>")
+    if template_blocks is not None:
+        body.append(f"<p>{template_blocks[1]}</p>")
     body += [
         '<ul class="menu"><li><a href="/1">one</a></li>'
         '<li><a href="/2">two</a></li><li><a href="/3">three</a></li></ul>',
