@@ -1778,6 +1778,53 @@ def q51_crawl_dedup_extract(spark, sf_dir):
     return spans.join(F.broadcast(urls), "doc_id")
 
 
+def q53_charset_extract_spans(spark, sf_dir):
+    """Charset sniffing under the hard gate — the web is not UTF-8:
+    the WARC corpus rotates character encodings AND declaration
+    channels per page (Content-Type header label; <meta charset>
+    prescan incl. the latin-1->cp1252 HTML5 alias fold; UTF-16 BOM;
+    undeclared bytes falling back strict-utf-8-then-cp1252), every page
+    carrying a non-ASCII marker paragraph. The reader must pick the
+    encoding by the HTML5 §13.2.3.2 sniffing order
+    (html_extract.sniff_decode) — a wrong or skipped decode garbles
+    the marker (or the whole utf-16 page) and breaks the hash. DuckDB
+    derives expected spans + marker from the documents table alone,
+    invariant to the wire bytes. Composes with the content-coding
+    rotation (gzip over utf-16 etc.) — decode order is transfer ->
+    content -> charset."""
+    from .text.html_extract import html_extract_spans
+    from .text.warc import synth_warc_corpus, warc_extract_html
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = warc_extract_html(
+        synth_warc_corpus(
+            spark, docs, n_docs=64, content_encoding=True, charsets=True
+        )
+    )
+    spans = html_extract_spans(pages)
+    urls = pages.select(F.col("doc_id").cast("string").alias("doc_id"), "url")
+    return spans.join(F.broadcast(urls), "doc_id")
+
+
+def _q53_oracle() -> str:
+    return f"""
+SELECT x.*,
+  printf('http://site%d.example/doc/%08d',
+         CAST(x.doc_id AS BIGINT) % 7, CAST(x.doc_id AS BIGINT)) AS url
+FROM (
+  SELECT * FROM ({_q44_oracle()}) o
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind,
+    'Résumé café © portal ' || (doc_id % 7) || ' àôü' AS text,
+    CAST(NULL AS VARCHAR) AS media_ref,
+    CAST(1 + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 3
+         + CASE WHEN ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) % 2 = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS "offset"
+  FROM documents WHERE doc_id < 64
+) x
+"""
+
+
 def q52_template_removal(spark, sf_dir):
     """Cross-page boilerplate removal — the corpus-level half of the
     north rule's 'HTML boilerplate strip': every page of a site carries
@@ -1944,6 +1991,7 @@ QUERIES = {
     "q50_url_canonicalize": q50_url_canonicalize,
     "q51_crawl_dedup_extract": q51_crawl_dedup_extract,
     "q52_template_removal": q52_template_removal,
+    "q53_charset_extract_spans": q53_charset_extract_spans,
 }
 
 ORACLES = {
@@ -1996,6 +2044,7 @@ ORACLES = {
     "q50_url_canonicalize": _q50_oracle(),
     "q51_crawl_dedup_extract": _q48_oracle(),  # dedup must restore q48
     "q52_template_removal": _q52_oracle(),
+    "q53_charset_extract_spans": _q53_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

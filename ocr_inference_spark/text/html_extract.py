@@ -237,6 +237,60 @@ SPAN_ROWS_SCHEMA = (
 )
 
 
+_META_CHARSET_RE = re.compile(
+    rb"""<meta\s[^>]*?charset\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9._:-]*)""",
+    re.I,
+)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",  # the HTML5 alias table folds latin-1
+    "latin-1": "windows-1252",  # into cp1252 (WHATWG Encoding §4.2)
+    "us-ascii": "windows-1252",
+    "utf8": "utf-8",
+}
+
+
+def sniff_decode(body: bytes, content_type: str = "") -> str:
+    """HTML bytes -> text via the HTML5 encoding-sniffing order
+    (WHATWG HTML §13.2.3.2): (1) BOM, (2) transport-layer charset from
+    the Content-Type header, (3) <meta charset> prescan of the first
+    1024 bytes, (4) fallback — strict UTF-8 if the bytes validate
+    (the dominant web reality), else windows-1252 (the spec's default,
+    which decodes any byte sequence). Unknown labels fall through to
+    the next step rather than erroring: a crawler must never die on a
+    mislabeled page."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", "replace")
+    if body.startswith(b"\xff\xfe"):
+        return body[2:].decode("utf-16-le", "replace")
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", "replace")
+    for label in (_header_charset(content_type), _meta_charset(body)):
+        if not label:
+            continue
+        codec = _CHARSET_ALIASES.get(label, label)
+        try:
+            return body.decode(codec, "replace")
+        except LookupError:
+            continue
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("windows-1252", "replace")
+
+
+def _header_charset(content_type: str) -> str | None:
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip("\"'").lower() or None
+    return None
+
+
+def _meta_charset(body: bytes) -> str | None:
+    m = _META_CHARSET_RE.search(body[:1024])
+    return m.group(1).decode("ascii", "replace").lower() if m else None
+
+
 def html_extract_spans(df: DataFrame, html_col: str = "html") -> DataFrame:
     """(doc_id, html) -> flat ordered span rows, one mapInPandas kernel:
     linear parse per document, no shuffle, no driver round-trips — the
@@ -289,7 +343,11 @@ def paragraphs_for(doc_id: int, text: str) -> list[str]:
 
 
 def synth_html_for(
-    doc_id: int, text: str, template_blocks: tuple[str, str] | None = None
+    doc_id: int,
+    text: str,
+    template_blocks: tuple[str, str] | None = None,
+    meta_charset: str | None = None,
+    extra_para: str | None = None,
 ) -> str:
     """One deterministic web page: real site chrome (head scripts and
     styles with decoy text, header+nav, link-soup menu inside the
@@ -301,12 +359,21 @@ def synth_html_for(
     boilerplate paragraphs (plain <p>, no class/id hint, no links —
     invisible to the single-page heuristics by construction) at the
     start and end of the content div: the cross-page template that only
-    domain-frequency analysis (text/boilerplate.py) can remove."""
+    domain-frequency analysis (text/boilerplate.py) can remove.
+    ``meta_charset`` adds a <meta charset> declaration to the head (the
+    prescan target for q53's charset sniffing); ``extra_para`` appends
+    one more content paragraph after the derived ones (q53's non-ASCII
+    marker that proves the decode actually happened)."""
     n_paras, has_img = _spec_of(doc_id)
     paras = paragraphs_for(doc_id, text)
     body = [
         "<!DOCTYPE html>",
         f"<html><head><title>site {doc_id % 7} &mdash; page</title>",
+        *(
+            [f'<meta charset="{meta_charset}">']
+            if meta_charset is not None
+            else []
+        ),
         "<style>p { color: #222; } /* <p>decoy</p> */</style>",
         "<script>if (1 < 2) { document.write('<p>not content</p>'); }</script>",
         "</head><body>",
@@ -322,6 +389,8 @@ def synth_html_for(
         body.append(f'<img src="img_{doc_id:08d}_00.png" alt="figure">')
     for i, p in enumerate(paras[1:], start=1):
         body.append(f"<p>{p}</p>")
+    if extra_para is not None:
+        body.append(f"<p>{extra_para}</p>")
     if template_blocks is not None:
         body.append(f"<p>{template_blocks[1]}</p>")
     body += [

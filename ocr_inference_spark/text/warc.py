@@ -46,7 +46,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .html_extract import synth_html_for
+from .html_extract import sniff_decode, synth_html_for
 
 CRLF = b"\r\n"
 # fixed archival instant: synthetic crawls must be byte-deterministic
@@ -156,11 +156,34 @@ def messy_url_of(doc_id: int) -> str:
 _CE_ROTATION = (None, "gzip", None, "deflate", "gzip")
 
 
+def charset_marker_for(doc_id: int) -> str:
+    """The non-ASCII content paragraph every charset-corpus page
+    carries — encodable in every rotated charset (cp1252, latin-1,
+    utf-16) and a pure function of doc_id, so DuckDB re-derives it.
+    A wrong or skipped decode garbles it and breaks the q53 hash."""
+    return f"Résumé café © portal {doc_id % 7} àôü"
+
+
+#: (codec, header-charset-label, meta-charset-label, bom) rotation for
+#: ``charsets=True`` corpora — exercises every HTML5 sniffing tier:
+#: transport-layer charset, meta prescan (incl. the latin-1->cp1252
+#: alias fold), BOM, and the undeclared-bytes fallback pair.
+_CHARSET_ROTATION = (
+    ("utf-8", "utf-8", None, False),  # header label, the common case
+    ("windows-1252", "windows-1252", None, False),  # header label, 1-byte
+    ("iso-8859-1", None, "iso-8859-1", False),  # meta prescan + alias
+    ("utf-16-le", None, None, True),  # BOM only
+    ("utf-8", None, None, False),  # undeclared -> strict-utf-8 fallback
+    ("windows-1252", None, None, False),  # undeclared -> cp1252 fallback
+)
+
+
 def build_warc_file(
     file_id: int,
     docs: list[tuple[int, str]],
     dup_captures: bool = False,
     content_encoding: bool = False,
+    charsets: bool = False,
 ) -> bytes:
     """One synthetic WARC file: warcinfo, a robots.txt fetch, then per
     document a request/response/metadata triple. The response body is
@@ -173,7 +196,11 @@ def build_warc_file(
     re-crawl duplicate that canonical-URL dedup must collapse. With
     ``content_encoding`` page responses rotate gzip / deflate /
     identity content-codings (``_CE_ROTATION``) under the transfer
-    framing — the reader must content-decode after de-chunking."""
+    framing — the reader must content-decode after de-chunking. With
+    ``charsets`` pages rotate character encodings and declaration
+    channels (``_CHARSET_ROTATION``: header label / meta prescan / BOM
+    / undeclared) and carry the non-ASCII ``charset_marker_for``
+    paragraph — the reader must sniff per HTML5 §13.2.3.2."""
     info = (
         f"software: ocr-inference-spark-synth\r\nformat: WARC File Format 1.0\r\n"
         f"warc-file: synth-{file_id:04d}.warc\r\n"
@@ -188,7 +215,20 @@ def build_warc_file(
     )
     for doc_id, text in sorted(docs):
         url = url_of(doc_id)
-        html = synth_html_for(doc_id, text or "").encode("utf-8")
+        if charsets:
+            codec, hdr_label, meta_label, bom = _CHARSET_ROTATION[doc_id % 6]
+            html = synth_html_for(
+                doc_id,
+                text or "",
+                meta_charset=meta_label,
+                extra_para=charset_marker_for(doc_id),
+            ).encode(codec)
+            if bom:
+                html = b"\xff\xfe" + html
+            mime = "text/html" + (f"; charset={hdr_label}" if hdr_label else "")
+        else:
+            html = synth_html_for(doc_id, text or "").encode("utf-8")
+            mime = "text/html; charset=utf-8"
         ce = _CE_ROTATION[doc_id % 5] if content_encoding else None
         records.append(warc_record("request", http_request_bytes(url), url))
         records.append(
@@ -196,7 +236,7 @@ def build_warc_file(
                 "response",
                 http_response_bytes(
                     html,
-                    "text/html; charset=utf-8",
+                    mime,
                     chunked=doc_id % 3 == 0,
                     content_encoding=ce,
                 ),
@@ -212,7 +252,7 @@ def build_warc_file(
                     "response",
                     http_response_bytes(
                         html,
-                        "text/html; charset=utf-8",
+                        mime,
                         chunked=doc_id % 3 != 0,
                         content_encoding=ce,
                     ),
@@ -385,6 +425,7 @@ def synth_warc_corpus(
     docs_per_file: int = 8,
     dup_captures: bool = False,
     content_encoding: bool = False,
+    charsets: bool = False,
 ) -> DataFrame:
     """documents -> (warc_name, data) files, built executor-side. One
     shuffle (group docs onto their file id); each file's bytes are a
@@ -405,7 +446,9 @@ def synth_warc_corpus(
             {
                 "warc_name": [f"synth-{file_id:04d}.warc"],
                 "data": [
-                    build_warc_file(file_id, docs, dup_captures, content_encoding)
+                    build_warc_file(
+                        file_id, docs, dup_captures, content_encoding, charsets
+                    )
                 ],
             }
         )
@@ -443,7 +486,9 @@ def warc_extract_html(warc_df: DataFrame) -> DataFrame:
                         continue
                     out["doc_id"].append(int(m.group(1)))
                     out["url"].append(url)
-                    out["html"].append(body.decode("utf-8", "replace"))
+                    out["html"].append(
+                        sniff_decode(body, hh.get("content-type", ""))
+                    )
             yield pd.DataFrame(out)
 
     return warc_df.select("data").mapInPandas(
@@ -476,7 +521,9 @@ def warc_extract_captures(warc_df: DataFrame) -> DataFrame:
                     if body is None:
                         continue
                     out["url"].append(headers.get("warc-target-uri", ""))
-                    out["html"].append(body.decode("utf-8", "replace"))
+                    out["html"].append(
+                        sniff_decode(body, hh.get("content-type", ""))
+                    )
             yield pd.DataFrame(out)
 
     return warc_df.select("data").mapInPandas(kernel, schema="url string, html string")

@@ -160,3 +160,43 @@ def test_spark_span_rows_match_pure_function(spark):
         for off, span in enumerate(expected):
             assert got[(str(row["doc_id"]), off)] == span
         assert (str(row["doc_id"]), len(expected)) not in got
+
+
+# --------------------------------------------------------- charset sniffing
+
+
+def test_sniff_decode_order_and_fallbacks():
+    from ocr_inference_spark.text.html_extract import sniff_decode
+
+    text = "<html><body><p>café déjà №</p></body></html>"
+    latin = "<html><body><p>café déjà</p></body></html>"
+    # 1. BOM wins over everything
+    assert sniff_decode(b"\xef\xbb\xbf" + text.encode("utf-8"), "text/html; charset=utf-16") == text
+    assert sniff_decode(b"\xff\xfe" + text.encode("utf-16-le"), "") == text
+    assert sniff_decode(b"\xfe\xff" + text.encode("utf-16-be"), "") == text
+    # 2. transport-layer label
+    assert sniff_decode(latin.encode("cp1252"), "text/html; charset=windows-1252") == latin
+    assert sniff_decode(latin.encode("cp1252"), 'text/html; charset="Windows-1252"') == latin
+    # 3. meta prescan, both syntaxes, latin-1 aliased to cp1252
+    m1 = f'<meta charset="iso-8859-1">{latin}'
+    assert sniff_decode(m1.encode("latin-1"), "text/html") == m1
+    m2 = f'<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">{latin}'
+    assert sniff_decode(m2.encode("latin-1"), "") == m2
+    # 4. undeclared: strict utf-8 if it validates, else cp1252
+    assert sniff_decode(text.encode("utf-8"), "text/html") == text
+    assert sniff_decode(latin.encode("cp1252"), "text/html") == latin
+    # unknown label falls through to the next tier, never raises
+    assert sniff_decode(text.encode("utf-8"), "text/html; charset=klingon") == text
+    # mislabeled page: label says utf-8 but bytes are cp1252 ->
+    # 'replace' keeps the page (lossy), never dies
+    got = sniff_decode(latin.encode("cp1252"), "text/html; charset=utf-8")
+    assert "caf�" in got
+
+
+def test_sniff_decode_meta_only_in_prescan_window():
+    from ocr_inference_spark.text.html_extract import sniff_decode
+
+    # a meta tag past the 1024-byte prescan window is ignored (HTML5)
+    pad = "<!--" + "x" * 1100 + "-->"
+    doc = f'{pad}<meta charset="utf-16"><p>plain ascii</p>'
+    assert sniff_decode(doc.encode("ascii"), "") == doc

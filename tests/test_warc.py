@@ -307,3 +307,63 @@ def test_warc_cdx_index_digests_match_hashlib(spark):
         r = by_url[url_of(doc_id)]
         assert (r.mime, r.status, r.length) == ("text/html", 200, len(body))
         assert r.digest == hashlib.md5(body).hexdigest()
+
+
+# ------------------------------------------------------- charset rotation
+
+
+def test_charset_corpus_rotates_encodings_and_channels():
+    from ocr_inference_spark.text.html_extract import sniff_decode, synth_html_for
+    from ocr_inference_spark.text.warc import (
+        _CHARSET_ROTATION,
+        charset_marker_for,
+        decode_content,
+    )
+
+    data = build_warc_file(1, DOCS, charsets=True)
+    seen = {}
+    for h, payload in iter_warc_records(data):
+        if h["warc-type"] != "response" or "robots" in h.get("warc-target-uri", ""):
+            continue
+        status, hh, body = parse_http_response(payload)
+        body = decode_content(hh, body)
+        seen[h["warc-target-uri"]] = (hh.get("content-type", ""), body)
+    slots = set()
+    for doc_id, text in DOCS:
+        ctype, body = seen[url_of(doc_id)]
+        codec, hdr, meta, bom = _CHARSET_ROTATION[doc_id % 6]
+        slots.add(doc_id % 6)
+        expected = synth_html_for(
+            doc_id, text, meta_charset=meta, extra_para=charset_marker_for(doc_id)
+        )
+        assert sniff_decode(body, ctype) == expected
+        if bom:
+            assert body[:2] == b"\xff\xfe"
+        if hdr:
+            assert f"charset={hdr}" in ctype
+        else:
+            assert "charset" not in ctype
+        # the wrong default decode would garble every non-utf8 page
+        if codec not in ("utf-8",):
+            assert body.decode("utf-8", "replace") != expected
+    assert slots == {0, 1, 2, 3, 4, 5}
+
+
+def test_charset_composes_with_content_encoding(spark):
+    import pandas as pd
+
+    from ocr_inference_spark.text.html_extract import synth_html_for
+    from ocr_inference_spark.text.warc import charset_marker_for, warc_extract_html
+
+    data = build_warc_file(
+        0, DOCS, content_encoding=True, charsets=True
+    )  # gzip members + ce rotation + charset rotation stacked
+    pdf = pd.DataFrame({"warc_name": ["a.warc"], "data": [data]})
+    got = {r.doc_id: r.html for r in warc_extract_html(spark.createDataFrame(pdf)).collect()}
+    assert sorted(got) == [d for d, _ in DOCS]
+    for doc_id, text in DOCS:
+        meta = {2: "iso-8859-1"}.get(doc_id % 6)
+        expected = synth_html_for(
+            doc_id, text, meta_charset=meta, extra_para=charset_marker_for(doc_id)
+        )
+        assert got[doc_id] == expected
