@@ -11,8 +11,9 @@ classes, multimodal WAV/MJPEG-AVI/animated-GIF decode, HTML
 main-content extraction, PDF layout parse, fused web-doc HTML->OCR and scanned-book PDF->OCR extractions, WARC crawl-archive ingestion with
 CDX capture indexing, URL canonicalization with registrable-domain
 rollup, duplicate-capture crawl dedup, cross-page template removal,
-HTML5 charset sniffing, composite training-set selection, a
-Structured-Streaming rollup) — 53 queries, 50 with DuckDB oracles (the remaining 3 are
+HTML5 charset sniffing, RFC 9309 robots politeness filtering,
+composite training-set selection, a
+Structured-Streaming rollup) — 54 queries, 51 with DuckDB oracles (the remaining 3 are
 approximate-by-design ANN/LSH paths, recall pinned by pytest); see
 ocr_inference_spark/queries.py for the implementations and
 the column-aliasing / decimal-sum conventions that keep the Spark and

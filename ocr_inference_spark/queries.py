@@ -1825,6 +1825,44 @@ FROM (
 """
 
 
+def q54_robots_filter_extract(spark, sf_dir):
+    """Crawl politeness under the hard gate (RFC 9309): each site's
+    robots.txt gives the crawl agent a group with a wildcard+anchor
+    Disallow ('/doc/*k$') that beats a shorter Allow by longest-match,
+    while the '*' group bans everything — so the reader must select
+    the right group, honor the pattern syntax, and apply RFC
+    precedence, or rows appear/disappear vs the oracle. The robots
+    dictionary (one tiny row per host) is broadcast onto the page
+    stream and evaluated in a zero-shuffle kernel (text/robots.py) —
+    the 10^12-capture politeness shape. Blocked set is derivable in
+    SQL: path ends in the site digit iff doc_id % 10 = doc_id % 7."""
+    from .text.html_extract import html_extract_spans
+    from .text.robots import robots_filter
+    from .text.warc import (
+        synth_warc_corpus,
+        warc_extract_html,
+        warc_extract_robots,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    warcs = synth_warc_corpus(spark, docs, n_docs=64, site_robots=True)
+    pages = warc_extract_html(warcs)
+    robots = warc_extract_robots(warcs).groupBy("host").agg(
+        F.max("robots_txt").alias("robots_txt")
+    )
+    allowed = robots_filter(pages, robots, agent="synthbot")
+    spans = html_extract_spans(allowed)
+    urls = allowed.select(F.col("doc_id").cast("string").alias("doc_id"), "url")
+    return spans.join(F.broadcast(urls), "doc_id")
+
+
+def _q54_oracle() -> str:
+    return f"""
+SELECT * FROM ({_q48_oracle()}) q
+WHERE NOT (CAST(q.doc_id AS BIGINT) % 10 = CAST(q.doc_id AS BIGINT) % 7)
+"""
+
+
 def q52_template_removal(spark, sf_dir):
     """Cross-page boilerplate removal — the corpus-level half of the
     north rule's 'HTML boilerplate strip': every page of a site carries
@@ -1992,6 +2030,7 @@ QUERIES = {
     "q51_crawl_dedup_extract": q51_crawl_dedup_extract,
     "q52_template_removal": q52_template_removal,
     "q53_charset_extract_spans": q53_charset_extract_spans,
+    "q54_robots_filter_extract": q54_robots_filter_extract,
 }
 
 ORACLES = {
@@ -2045,6 +2084,7 @@ ORACLES = {
     "q51_crawl_dedup_extract": _q48_oracle(),  # dedup must restore q48
     "q52_template_removal": _q52_oracle(),
     "q53_charset_extract_spans": _q53_oracle(),
+    "q54_robots_filter_extract": _q54_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

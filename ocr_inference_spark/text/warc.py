@@ -156,6 +156,25 @@ def messy_url_of(doc_id: int) -> str:
 _CE_ROTATION = (None, "gzip", None, "deflate", "gzip")
 
 
+def site_robots_body(site: int) -> bytes:
+    """robots.txt for ``site{site}.example``: the crawl agent's group
+    disallows doc paths ending in the site digit (wildcard + $ anchor,
+    longest-match beats the shorter Allow), everyone else is banned
+    outright — so group selection, pattern syntax, and precedence all
+    sit under the q54 gate. Blocked set in SQL terms: doc_id % 10 =
+    doc_id % 7."""
+    return (
+        f"# synthetic robots for site{site}.example\r\n"
+        f"User-agent: synthbot\r\n"
+        f"Crawl-delay: 2\r\n"
+        f"Disallow: /doc/*{site}$\r\n"
+        f"Allow: /doc/\r\n"
+        f"\r\n"
+        f"User-agent: *\r\n"
+        f"Disallow: /\r\n"
+    ).encode("ascii")
+
+
 def charset_marker_for(doc_id: int) -> str:
     """The non-ASCII content paragraph every charset-corpus page
     carries — encodable in every rotated charset (cp1252, latin-1,
@@ -184,6 +203,7 @@ def build_warc_file(
     dup_captures: bool = False,
     content_encoding: bool = False,
     charsets: bool = False,
+    site_robots: bool = False,
 ) -> bytes:
     """One synthetic WARC file: warcinfo, a robots.txt fetch, then per
     document a request/response/metadata triple. The response body is
@@ -213,6 +233,17 @@ def build_warc_file(
             robots_url_of(file_id),
         )
     )
+    if site_robots:
+        # every file carries all seven site policies (a crawler
+        # re-fetches robots constantly; the extractor dedups by host)
+        for k in range(7):
+            records.append(
+                warc_record(
+                    "response",
+                    http_response_bytes(site_robots_body(k), "text/plain"),
+                    f"http://site{k}.example/robots.txt",
+                )
+            )
     for doc_id, text in sorted(docs):
         url = url_of(doc_id)
         if charsets:
@@ -426,6 +457,7 @@ def synth_warc_corpus(
     dup_captures: bool = False,
     content_encoding: bool = False,
     charsets: bool = False,
+    site_robots: bool = False,
 ) -> DataFrame:
     """documents -> (warc_name, data) files, built executor-side. One
     shuffle (group docs onto their file id); each file's bytes are a
@@ -447,7 +479,12 @@ def synth_warc_corpus(
                 "warc_name": [f"synth-{file_id:04d}.warc"],
                 "data": [
                     build_warc_file(
-                        file_id, docs, dup_captures, content_encoding, charsets
+                        file_id,
+                        docs,
+                        dup_captures,
+                        content_encoding,
+                        charsets,
+                        site_robots,
                     )
                 ],
             }
@@ -527,6 +564,42 @@ def warc_extract_captures(warc_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return warc_df.select("data").mapInPandas(kernel, schema="url string, html string")
+
+
+def warc_extract_robots(warc_df: DataFrame) -> DataFrame:
+    """(warc_name, data) -> (host, robots_txt) for every 200 text/plain
+    response captured at a /robots.txt path. One row per CAPTURE (a
+    crawl re-fetches robots constantly); dedupe by host downstream
+    (bodies are deterministic here, so ``max`` works). Zero shuffle."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "robots_txt": []}
+            for data in pdf["data"]:
+                for headers, payload in iter_warc_records(bytes(data)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    url = headers.get("warc-target-uri", "")
+                    if not url.endswith("/robots.txt"):
+                        continue
+                    resp = parse_http_response(payload)
+                    if resp is None:
+                        continue
+                    status, hh, body = resp
+                    if status != 200 or _mime_of(hh) != "text/plain":
+                        continue
+                    body = decode_content(hh, body)
+                    if body is None:
+                        continue
+                    host = url.split("/", 3)[2].lower()
+                    out["host"].append(host)
+                    out["robots_txt"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return warc_df.select("data").mapInPandas(
+        kernel, schema="host string, robots_txt string"
+    )
 
 
 def warc_cdx_index(warc_df: DataFrame) -> DataFrame:
