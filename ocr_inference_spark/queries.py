@@ -1683,12 +1683,13 @@ pages AS (
 )
 SELECT printf('http://site%d.example/doc/%08d', doc_id % 7, doc_id) AS url,
   CAST(200 AS INTEGER) AS status, 'text/html' AS mime,
-  CAST(strlen(html) AS BIGINT) AS length, md5(html) AS digest
+  CAST(strlen(html) AS BIGINT) AS length, md5(html) AS digest,
+  CAST(NULL AS VARCHAR) AS redirect
 FROM pages
 UNION ALL
 SELECT printf('http://warc%04d.example/robots.txt', fid),
   CAST(200 AS INTEGER), 'text/plain',
-  CAST(strlen(rb) AS BIGINT), md5(rb)
+  CAST(strlen(rb) AS BIGINT), md5(rb), CAST(NULL AS VARCHAR)
 FROM (SELECT DISTINCT doc_id // 8 AS fid FROM src)
 CROSS JOIN (SELECT 'User-agent: *' || chr(13) || chr(10) ||
                    'Disallow: /private/' || chr(13) || chr(10) AS rb)
@@ -1863,6 +1864,41 @@ WHERE NOT (CAST(q.doc_id AS BIGINT) % 10 = CAST(q.doc_id AS BIGINT) % 7)
 """
 
 
+def q55_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution under the hard gate: the corpus
+    archives a 2-hop alias chain per page (/r2 -302-> /r1 -301->
+    /doc, the second hop via a RELATIVE Location that the CDX layer
+    must absolutize per RFC 9110) and the resolver (text/redirects.py)
+    computes every alias's final destination by POINTER DOUBLING —
+    ceil(log2(max_hops)) self-joins of the 3xx subset, the
+    list-ranking primitive that keeps a 10^12-capture closure walk at
+    a handful of narrow shuffles (same log-round discipline as the
+    star CC contraction). DuckDB derives the closed-form chain map
+    from doc_id alone; wrong hop counts, missed relative-Location
+    absolutization, or a broken join produce different rows."""
+    from .text.redirects import resolve_redirects
+    from .text.warc import synth_warc_corpus, warc_cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    warcs = synth_warc_corpus(spark, docs, n_docs=64, redirects=True)
+    return resolve_redirects(warc_cdx_index(warcs))
+
+
+def _q55_oracle() -> str:
+    return """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64)
+SELECT printf('http://site%d.example/r1/%08d', doc_id % 7, doc_id) AS src,
+  printf('http://site%d.example/doc/%08d', doc_id % 7, doc_id) AS final_url,
+  CAST(1 AS BIGINT) AS hops, TRUE AS resolved
+FROM d
+UNION ALL
+SELECT printf('http://site%d.example/r2/%08d', doc_id % 7, doc_id),
+  printf('http://site%d.example/doc/%08d', doc_id % 7, doc_id),
+  CAST(2 AS BIGINT), TRUE
+FROM d
+"""
+
+
 def q52_template_removal(spark, sf_dir):
     """Cross-page boilerplate removal — the corpus-level half of the
     north rule's 'HTML boilerplate strip': every page of a site carries
@@ -2031,6 +2067,7 @@ QUERIES = {
     "q52_template_removal": q52_template_removal,
     "q53_charset_extract_spans": q53_charset_extract_spans,
     "q54_robots_filter_extract": q54_robots_filter_extract,
+    "q55_redirect_resolution": q55_redirect_resolution,
 }
 
 ORACLES = {
@@ -2085,6 +2122,7 @@ ORACLES = {
     "q52_template_removal": _q52_oracle(),
     "q53_charset_extract_spans": _q53_oracle(),
     "q54_robots_filter_extract": _q54_oracle(),
+    "q55_redirect_resolution": _q55_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

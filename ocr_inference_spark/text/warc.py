@@ -105,6 +105,15 @@ def http_response_bytes(
     return CRLF.join(head) + CRLF + CRLF + payload
 
 
+def http_redirect_bytes(location: str, code: int = 301) -> bytes:
+    """A 3xx response with a Location header and an empty body."""
+    reason = {301: "Moved Permanently", 302: "Found", 307: "Temporary Redirect"}
+    return (
+        f"HTTP/1.1 {code} {reason.get(code, 'Redirect')}\r\n"
+        f"Location: {location}\r\nContent-Length: 0\r\n\r\n"
+    ).encode("ascii")
+
+
 def http_request_bytes(url: str) -> bytes:
     path = "/" + url.split("/", 3)[3]
     host = url.split("/", 3)[2]
@@ -204,6 +213,7 @@ def build_warc_file(
     content_encoding: bool = False,
     charsets: bool = False,
     site_robots: bool = False,
+    redirects: bool = False,
 ) -> bytes:
     """One synthetic WARC file: warcinfo, a robots.txt fetch, then per
     document a request/response/metadata triple. The response body is
@@ -277,6 +287,21 @@ def build_warc_file(
         records.append(
             warc_record("metadata", b"fetchTimeMs: 7\r\n", url)
         )
+        if redirects:
+            # a 2-hop alias chain per page: /r2 -(302 absolute)-> /r1
+            # -(301 RELATIVE Location, which RFC 9110 permits)-> /doc
+            hop1 = f"http://site{doc_id % 7}.example/r1/{doc_id:08d}"
+            hop2 = f"http://site{doc_id % 7}.example/r2/{doc_id:08d}"
+            records.append(
+                warc_record("response", http_redirect_bytes(hop1, 302), hop2)
+            )
+            records.append(
+                warc_record(
+                    "response",
+                    http_redirect_bytes(f"/doc/{doc_id:08d}", 301),
+                    hop1,
+                )
+            )
         if dup_captures:
             records.append(
                 warc_record(
@@ -458,6 +483,7 @@ def synth_warc_corpus(
     content_encoding: bool = False,
     charsets: bool = False,
     site_robots: bool = False,
+    redirects: bool = False,
 ) -> DataFrame:
     """documents -> (warc_name, data) files, built executor-side. One
     shuffle (group docs onto their file id); each file's bytes are a
@@ -485,6 +511,7 @@ def synth_warc_corpus(
                         content_encoding,
                         charsets,
                         site_robots,
+                        redirects,
                     )
                 ],
             }
@@ -604,15 +631,26 @@ def warc_extract_robots(warc_df: DataFrame) -> DataFrame:
 
 def warc_cdx_index(warc_df: DataFrame) -> DataFrame:
     """(warc_name, data) -> CDX-style capture index over response
-    records: (url, status, mime, length, digest) where length/digest
-    are of the transfer-decoded payload (so they are invariant to
-    chunked vs content-length framing, per the CDXJ convention). Zero
-    shuffle; md5-hex digest so a relational oracle can recompute it."""
+    records: (url, status, mime, length, digest, redirect) where
+    length/digest are of the transfer-decoded payload (so they are
+    invariant to chunked vs content-length framing, per the CDXJ
+    convention) and ``redirect`` is the CDXJ redirect field: the
+    Location target of a 3xx capture, made absolute against the
+    capture URI (RFC 9110 allows relative Location). Zero shuffle;
+    md5-hex digest so a relational oracle can recompute it."""
     import pandas as pd
+    from urllib.parse import urljoin
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"url": [], "status": [], "mime": [], "length": [], "digest": []}
+            out = {
+                "url": [],
+                "status": [],
+                "mime": [],
+                "length": [],
+                "digest": [],
+                "redirect": [],
+            }
             for name, data in zip(pdf["warc_name"], pdf["data"]):
                 for headers, payload in iter_warc_records(bytes(data)):
                     if headers.get("warc-type") != "response":
@@ -621,13 +659,24 @@ def warc_cdx_index(warc_df: DataFrame) -> DataFrame:
                     if resp is None:
                         continue
                     status, hh, body = resp
-                    out["url"].append(headers.get("warc-target-uri", ""))
+                    url = headers.get("warc-target-uri", "")
+                    loc = hh.get("location")
+                    out["url"].append(url)
                     out["status"].append(status)
                     out["mime"].append(_mime_of(hh))
                     out["length"].append(len(body))
                     out["digest"].append(hashlib.md5(body).hexdigest())
+                    out["redirect"].append(
+                        urljoin(url, loc)
+                        if loc and 300 <= status < 400
+                        else None
+                    )
             yield pd.DataFrame(out)
 
     return warc_df.select("warc_name", "data").mapInPandas(
-        kernel, schema="url string, status int, mime string, length long, digest string"
+        kernel,
+        schema=(
+            "url string, status int, mime string, length long, "
+            "digest string, redirect string"
+        ),
     )
