@@ -12,9 +12,9 @@ main-content extraction, PDF layout parse, fused web-doc HTML->OCR and scanned-b
 CDX capture indexing, URL canonicalization with registrable-domain
 rollup, duplicate-capture crawl dedup, cross-page template removal,
 HTML5 charset sniffing, RFC 9309 robots politeness filtering,
-pointer-doubling redirect-chain resolution,
+pointer-doubling redirect-chain resolution, sitemap coverage audit,
 composite training-set selection, a
-Structured-Streaming rollup) — 55 queries, 52 with DuckDB oracles (the remaining 3 are
+Structured-Streaming rollup) — 56 queries, 53 with DuckDB oracles (the remaining 3 are
 approximate-by-design ANN/LSH paths, recall pinned by pytest); see
 ocr_inference_spark/queries.py for the implementations and
 the column-aliasing / decimal-sum conventions that keep the Spark and

@@ -1899,6 +1899,44 @@ FROM d
 """
 
 
+def q56_sitemap_coverage(spark, sf_dir):
+    """Sitemap crawl-coverage audit: each site's captured sitemap.xml
+    advertises its doc URLs (with lastmod dates and an &amp;-entity
+    phantom URL never crawled) but omits ids with doc_id % 5 == 4 —
+    so the FULL OUTER join of advertised vs captured URLs must emit
+    all three coverage classes (both / listed-only frontier gap /
+    captured-only link discovery) with lastmod carried from the XML.
+    Tolerant sitemap scan + entity decode sit under the hash gate;
+    the outer join is the one exchange (outer joins cannot
+    broadcast — non-matches on both sides survive). Oracle derives
+    the full coverage table from doc_id arithmetic."""
+    from .text.sitemap import crawl_coverage, warc_extract_sitemaps
+    from .text.warc import synth_warc_corpus, warc_cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    warcs = synth_warc_corpus(spark, docs, n_docs=64, sitemaps=True)
+    listed = warc_extract_sitemaps(warcs)
+    captured = warc_cdx_index(warcs).where(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    )
+    return crawl_coverage(listed, captured)
+
+
+def _q56_oracle() -> str:
+    return """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64)
+SELECT printf('http://site%d.example/doc/%08d', doc_id % 7, doc_id) AS url,
+  doc_id % 5 <> 4 AS listed, TRUE AS captured,
+  CASE WHEN doc_id % 5 <> 4 THEN printf('2024-01-%02d', 1 + doc_id % 28)
+  END AS lastmod
+FROM d
+UNION ALL
+SELECT 'http://site' || k || '.example/list?page=1&limit=' || k,
+  TRUE, FALSE, '2024-02-01'
+FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k)
+"""
+
+
 def q52_template_removal(spark, sf_dir):
     """Cross-page boilerplate removal — the corpus-level half of the
     north rule's 'HTML boilerplate strip': every page of a site carries
@@ -2068,6 +2106,7 @@ QUERIES = {
     "q53_charset_extract_spans": q53_charset_extract_spans,
     "q54_robots_filter_extract": q54_robots_filter_extract,
     "q55_redirect_resolution": q55_redirect_resolution,
+    "q56_sitemap_coverage": q56_sitemap_coverage,
 }
 
 ORACLES = {
@@ -2123,6 +2162,7 @@ ORACLES = {
     "q53_charset_extract_spans": _q53_oracle(),
     "q54_robots_filter_extract": _q54_oracle(),
     "q55_redirect_resolution": _q55_oracle(),
+    "q56_sitemap_coverage": _q56_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

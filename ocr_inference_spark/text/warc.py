@@ -184,6 +184,35 @@ def site_robots_body(site: int) -> bytes:
     ).encode("ascii")
 
 
+def site_sitemap_body(site: int, n_docs: int) -> bytes:
+    """sitemap.xml for ``site{site}.example``: advertises the site's
+    doc URLs with deterministic lastmod dates, EXCEPT ids with
+    doc_id % 5 == 4 (captured-but-unlisted, the link-discovery case),
+    PLUS one phantom URL carrying an &amp; entity that is never
+    crawled (listed-but-uncaptured, the frontier-gap case). Pure
+    function of (site, n_docs) so DuckDB derives the coverage table
+    from doc_id arithmetic alone."""
+    rows = []
+    for doc_id in range(site, n_docs, 7):
+        if doc_id % 5 == 4:
+            continue
+        rows.append(
+            f"<url><loc>{url_of(doc_id)}</loc>"
+            f"<lastmod>2024-01-{1 + doc_id % 28:02d}</lastmod></url>"
+        )
+    rows.append(
+        f"<url><loc>http://site{site}.example/list?page=1&amp;limit={site}"
+        f"</loc><lastmod>2024-02-01</lastmod></url>"
+    )
+    body = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(rows)
+        + "\n</urlset>\n"
+    )
+    return body.encode("utf-8")
+
+
 def charset_marker_for(doc_id: int) -> str:
     """The non-ASCII content paragraph every charset-corpus page
     carries — encodable in every rotated charset (cp1252, latin-1,
@@ -214,6 +243,7 @@ def build_warc_file(
     charsets: bool = False,
     site_robots: bool = False,
     redirects: bool = False,
+    sitemap_n_docs: int | None = None,
 ) -> bytes:
     """One synthetic WARC file: warcinfo, a robots.txt fetch, then per
     document a request/response/metadata triple. The response body is
@@ -252,6 +282,18 @@ def build_warc_file(
                     "response",
                     http_response_bytes(site_robots_body(k), "text/plain"),
                     f"http://site{k}.example/robots.txt",
+                )
+            )
+    if sitemap_n_docs is not None and file_id == 0:
+        # sitemaps list the WHOLE site, so they live in file 0 only
+        for k in range(7):
+            records.append(
+                warc_record(
+                    "response",
+                    http_response_bytes(
+                        site_sitemap_body(k, sitemap_n_docs), "application/xml"
+                    ),
+                    f"http://site{k}.example/sitemap.xml",
                 )
             )
     for doc_id, text in sorted(docs):
@@ -484,6 +526,7 @@ def synth_warc_corpus(
     charsets: bool = False,
     site_robots: bool = False,
     redirects: bool = False,
+    sitemaps: bool = False,
 ) -> DataFrame:
     """documents -> (warc_name, data) files, built executor-side. One
     shuffle (group docs onto their file id); each file's bytes are a
@@ -512,6 +555,7 @@ def synth_warc_corpus(
                         charsets,
                         site_robots,
                         redirects,
+                        n_docs if sitemaps else None,
                     )
                 ],
             }
