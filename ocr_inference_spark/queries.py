@@ -2050,6 +2050,126 @@ def q43_stream_hourly_rollup(spark, sf_dir):
     return streaming_hourly_rollup(spark, sf_dir)
 
 
+def q57_link_graph(spark, sf_dir):
+    """Hyperlink graph extraction — the crawl-frontier discovery step:
+    every page's <a href> references (whole-DOM walk, nav links
+    included — unlike the main-content extractor) are RFC 3986 §5
+    resolved against the page base (messy absolute, ../dot-segment
+    relative, scheme-relative // forms all present in the corpus),
+    canonicalized with the q50 normalizer, and collapsed to weighted
+    edges (src, dst, anchor, nofollow, n) — parallel nav+body links
+    become weight 2, rel=nofollow is carried, fragment-only / mailto /
+    empty / inside-<script> decoys must produce nothing. DuckDB derives
+    the exact edge list from doc_id arithmetic (the corpus construction
+    rule, text/linkgraph.py). Plan: extraction+resolution are one
+    zero-shuffle mapInPandas; the edge rollup is one hash aggregate —
+    the q50 shuffle discipline."""
+    from .text.linkgraph import edge_list, extract_links, synth_link_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = synth_link_corpus(spark, docs, n_docs=64)
+    return edge_list(extract_links(pages))
+
+
+_Q57_URL = "printf('http://site%d.example/doc/%08d', {h}, {t})"
+
+
+def _q57_edges_sql(with_anchor: bool) -> str:
+    """Shared edge-list derivation for the q57/q58 oracles."""
+    src = _Q57_URL.format(h="d % 7", t="d")
+    rows = []
+    for cond, tgt, host, anchor, nofollow, n in [
+        ("d % 13 <> 0", "(3 * d + 1) % 64", "((3 * d + 1) % 64) % 7",
+         "'study ' || CAST((3 * d + 1) % 64 AS VARCHAR)", "FALSE",
+         "CASE WHEN d % 11 = 0 THEN 2 ELSE 1 END"),
+        ("d % 13 <> 0 AND d % 3 >= 1", "(5 * d + 2) % 64", "d % 7",
+         "'note & appendix ' || CAST((5 * d + 2) % 64 AS VARCHAR)", "FALSE",
+         "1"),
+        ("d % 13 <> 0 AND d % 3 = 2", "(7 * d + 3) % 64",
+         "((7 * d + 3) % 64) % 7",
+         "'sponsor ' || CAST((7 * d + 3) % 64 AS VARCHAR)", "TRUE", "1"),
+    ]:
+        dst = _Q57_URL.format(h=host, t=tgt)
+        extra = f"{anchor} AS anchor, {nofollow} AS nofollow," if with_anchor else ""
+        rows.append(
+            f"SELECT {src} AS src, {dst} AS dst, {extra}\n"
+            f"  CAST({n} AS BIGINT) AS n FROM ds WHERE {cond}"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+def _q57_oracle() -> str:
+    return f"""
+WITH ds AS (SELECT doc_id AS d FROM documents WHERE doc_id < 64)
+{_q57_edges_sql(with_anchor=True)}
+"""
+
+
+def q58_link_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the parsed link graph — the
+    authority signal a crawl scheduler / quality ranker runs over the
+    snapshot. Edges come from the REAL q57 extraction (parser + RFC
+    3986 resolution in the loop, not a planted edge table); rank runs
+    in int64 micro-units with floor division (bit-deterministic, so a
+    float-free value-hash gate works), closed-world over the captured
+    node set, dangling mass dropped, parallel edges weighted. The
+    DuckDB oracle unrolls the same 3 damped iterations in integer SQL.
+    Plan: the edge⋈outdeg relation is static across iterations; only
+    (url, int64) rank rows shuffle per round — the dup_clusters
+    iteration discipline (text/linkgraph.py docstring for the 10^12
+    posture)."""
+    from .text.linkgraph import (
+        edge_list,
+        extract_links,
+        pagerank,
+        synth_link_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = synth_link_corpus(spark, docs, n_docs=64)
+    edges = edge_list(extract_links(pages)).groupBy("src", "dst").agg(
+        F.sum("n").alias("n")
+    )
+    return pagerank(edges, pages.select("url"), iterations=3)
+
+
+def _q58_oracle() -> str:
+    from .text.linkgraph import DAMP_DEN, DAMP_NUM, RANK_SCALE
+
+    base = (RANK_SCALE * DAMP_DEN - RANK_SCALE * DAMP_NUM) // DAMP_DEN
+    iters = []
+    for k in range(1, 4):
+        iters.append(f"""
+r{k} AS (
+  SELECT n.url,
+    CAST({base} + coalesce(sum(
+      ({DAMP_NUM} * r.rank_micro * e.n) // ({DAMP_DEN} * e.od)), 0) AS BIGINT)
+      AS rank_micro
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.url
+  LEFT JOIN r{k - 1} r ON r.url = e.src
+  GROUP BY n.url
+)""")
+    return f"""
+WITH ds AS (SELECT doc_id AS d FROM documents WHERE doc_id < 64),
+nodes AS (
+  SELECT {_Q57_URL.format(h="d % 7", t="d")} AS url FROM ds
+),
+raw AS (
+{_q57_edges_sql(with_anchor=False)}
+),
+inco AS (
+  SELECT src, dst, sum(n) AS n FROM raw
+  WHERE dst IN (SELECT url FROM nodes) GROUP BY src, dst
+),
+odeg AS (SELECT src, sum(n) AS od FROM inco GROUP BY src),
+edges AS (SELECT i.src, i.dst, i.n, o.od FROM inco i JOIN odeg o USING (src)),
+r0 AS (SELECT url, CAST({RANK_SCALE} AS BIGINT) AS rank_micro FROM nodes),
+{",".join(iters)}
+SELECT url, rank_micro FROM r3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2107,6 +2227,8 @@ QUERIES = {
     "q54_robots_filter_extract": q54_robots_filter_extract,
     "q55_redirect_resolution": q55_redirect_resolution,
     "q56_sitemap_coverage": q56_sitemap_coverage,
+    "q57_link_graph": q57_link_graph,
+    "q58_link_pagerank": q58_link_pagerank,
 }
 
 ORACLES = {
@@ -2163,6 +2285,8 @@ ORACLES = {
     "q54_robots_filter_extract": _q54_oracle(),
     "q55_redirect_resolution": _q55_oracle(),
     "q56_sitemap_coverage": _q56_oracle(),
+    "q57_link_graph": _q57_oracle(),
+    "q58_link_pagerank": _q58_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

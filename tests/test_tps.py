@@ -35,10 +35,23 @@ def test_tps_corrects_horizontal_shear():
         dst_cols = src_cols + dx
         ok = (dst_cols >= 0) & (dst_cols < 200)
         sheared[y, dst_cols[ok]] = img[y, src_cols[ok]]
-    # control points: where known features landed -> where they belong
+    # control points: where known features landed -> where they belong.
+    # Two x-columns of points, NOT one: with a single column the TPS
+    # affine x-slope is unidentifiable (all constraints share one x), so
+    # the solved warp depends on which null-space member the LAPACK
+    # build returns — an environment-flaky fixture. Non-collinear points
+    # pin the affine part uniquely and the inverse shear is exact.
     ys = np.array([10.0, 24.0, 40.0, 56.0, 70.0])
-    input_pts = np.stack([100.0 + 0.3 * (ys - 40.0), ys], axis=1)
-    output_pts = np.stack([np.full(ys.shape, 100.0), ys], axis=1)
+    cols = []
+    for x0 in (60.0, 140.0):
+        cols.append(
+            (
+                np.stack([x0 + 0.3 * (ys - 40.0), ys], axis=1),
+                np.stack([np.full(ys.shape, x0), ys], axis=1),
+            )
+        )
+    input_pts = np.vstack([c[0] for c in cols])
+    output_pts = np.vstack([c[1] for c in cols])
     fixed = tps_warp(sheared, input_pts, output_pts, add_corners=False)
     inter = np.logical_and(fixed, img).sum()
     union = np.logical_or(fixed, img).sum()
