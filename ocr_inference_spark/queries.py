@@ -2170,6 +2170,142 @@ SELECT url, rank_micro FROM r3
 """
 
 
+def q59_crawl_snapshot_diff(spark, sf_dir):
+    """Incremental-recrawl change detection — the CDC step a continuous
+    crawl runs between snapshots: two WARC corpora are built through
+    the full archive chain (snapshot A = docs 0..63; snapshot B = docs
+    0..71 with doc_id%4==2 pages dropped and doc_id%4==1 pages'
+    text mutated), indexed with the q49 CDX machinery (payload digests
+    of the transfer-decoded bytes), and FULL OUTER joined on URL to
+    classify every capture as added / removed / changed / unchanged by
+    digest compare. The oracle derives the classification from the
+    corpus construction rule (doc_id arithmetic) — so a reader bug, a
+    digest bug, or a framing difference between the two snapshot builds
+    flips a class and breaks the hash. Plan: two zero-shuffle index
+    kernels + ONE outer-join exchange on 16-byte-ish URL keys (outer
+    joins cannot broadcast — non-matches on both sides survive); page
+    bytes never shuffle. At 10^12 captures both sides are
+    digest-sized rows, the narrowest possible diff."""
+    from .text.warc import synth_warc_corpus, warc_cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    a_docs = docs.where(F.col("doc_id") < 64)
+    b_docs = docs.where(
+        (F.col("doc_id") < 72) & (F.col("doc_id") % 4 != 2)
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("UPDATED "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+
+    def pages_index(src, n):
+        idx = warc_cdx_index(synth_warc_corpus(spark, src, n_docs=n))
+        return idx.where(
+            (F.col("status") == 200) & (F.col("mime") == "text/html")
+        ).select("url", "digest")
+
+    a = pages_index(a_docs, 64).withColumnRenamed("digest", "digest_a")
+    b = pages_index(b_docs, 72).withColumnRenamed("digest", "digest_b")
+    joined = a.join(b, "url", "full_outer")
+    return joined.select(
+        "url",
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .when(F.col("digest_a") != F.col("digest_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+
+
+def _q59_oracle() -> str:
+    return """
+SELECT printf('http://site%d.example/doc/%08d', doc_id % 7, doc_id) AS url,
+  CASE WHEN doc_id >= 64 THEN 'added'
+       WHEN doc_id % 4 = 2 THEN 'removed'
+       WHEN doc_id % 4 = 1 THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM documents
+WHERE doc_id < 72 AND NOT (doc_id >= 64 AND doc_id % 4 = 2)
+"""
+
+
+def q60_gopher_quality(spark, sf_dir):
+    """Gopher-rule document quality gate (Rae et al. 2021 §A1.1) — the
+    published heuristic filter set LLM training pipelines run before
+    dedup: word-count bounds, mean-word-length band, stopword presence,
+    symbol-word / bullet-line / ellipsis-line caps. All metrics are
+    INTEGER formulations (x100 fixed-point mean, cross-multiplied
+    thresholds) so the verdict is engine-exact under the value-hash
+    gate — float ratios cannot be. Pure Catalyst over the full
+    documents table (whole-stage codegen, zero Python), one projection,
+    no shuffle: the 100-TB posture is a map-only scan."""
+    from .text.analysis import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "word_count",
+        "mean_word_len_x100",
+        "stop_hits",
+        "symbol_words",
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "passes",
+    )
+
+
+def _q60_oracle() -> str:
+    from .text.analysis import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"CAST(list_contains(wl, '{s}') AS BIGINT)" for s in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                w -> w <> '') AS words,
+    CAST(strlen(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+         AS BIGINT) AS nws,
+    string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS word_count,
+    nws,
+    (SELECT {stop_sum} FROM
+      (SELECT list_transform(words, w -> lower(w)) AS wl)) AS stop_hits,
+    CAST(len(list_filter(words, w ->
+      contains(w, '#') OR contains(w, '...') OR contains(w, '…')))
+      AS BIGINT) AS symbol_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l ->
+      substring(ltrim(l), 1, 1) = '-' OR substring(ltrim(l), 1, 1) = '*'
+      OR substring(ltrim(l), 1, 1) = '•')) AS BIGINT) AS bullet_lines,
+    CAST(len(list_filter(lines, l ->
+      right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…'))
+      AS BIGINT) AS ellipsis_lines
+  FROM base
+)
+SELECT doc_id, word_count,
+  CASE WHEN word_count > 0 THEN (100 * nws) // word_count
+       ELSE 0 END AS mean_word_len_x100,
+  stop_hits, symbol_words, n_lines, bullet_lines, ellipsis_lines,
+  (word_count >= 30 AND word_count <= 100000
+   AND (CASE WHEN word_count > 0 THEN (100 * nws) // word_count ELSE 0 END)
+       BETWEEN 300 AND 1000
+   AND stop_hits >= 2
+   AND 10 * symbol_words < word_count
+   AND 10 * bullet_lines < 9 * n_lines
+   AND 10 * ellipsis_lines < 3 * n_lines) AS passes
+FROM counted
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2229,6 +2365,8 @@ QUERIES = {
     "q56_sitemap_coverage": q56_sitemap_coverage,
     "q57_link_graph": q57_link_graph,
     "q58_link_pagerank": q58_link_pagerank,
+    "q59_crawl_snapshot_diff": q59_crawl_snapshot_diff,
+    "q60_gopher_quality": q60_gopher_quality,
 }
 
 ORACLES = {
@@ -2287,6 +2425,8 @@ ORACLES = {
     "q56_sitemap_coverage": _q56_oracle(),
     "q57_link_graph": _q57_oracle(),
     "q58_link_pagerank": _q58_oracle(),
+    "q59_crawl_snapshot_diff": _q59_oracle(),
+    "q60_gopher_quality": _q60_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

@@ -70,3 +70,75 @@ def test_fingerprint_deterministic(df):
     for ch in text:
         h = (h * 31 + ord(ch)) % 2_147_483_647
     assert a == h
+
+
+class TestGopherQuality:
+    """Gopher-rule integer quality gate (analysis.gopher_quality)."""
+
+    def _metrics(self, spark, text):
+        from ocr_inference_spark.text.analysis import gopher_quality
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return gopher_quality(df).collect()[0].asDict()
+
+    def test_good_prose_passes(self, spark):
+        text = ("the quick brown fox jumps over a lazy dog and then " * 5).strip()
+        m = self._metrics(spark, text)
+        assert m["passes"] is True
+        assert m["word_count"] == 55
+        assert m["stop_hits"] >= 2
+
+    def test_too_short_fails(self, spark):
+        m = self._metrics(spark, "the cat sat on a mat")
+        assert m["word_count"] == 6 and m["passes"] is False
+
+    def test_mean_word_length_band(self, spark):
+        # single-char soup: mean 100 < 300 -> fail
+        m = self._metrics(spark, " ".join(["a"] * 40))
+        assert m["mean_word_len_x100"] == 100 and m["passes"] is False
+        # very long tokens: mean > 1000 -> fail
+        m = self._metrics(spark, " ".join(["the", "a"] + ["x" * 30] * 38))
+        assert m["mean_word_len_x100"] > 1000 and m["passes"] is False
+
+    def test_stopword_rule(self, spark):
+        words = " ".join(["alpha beta gamma delta"] * 10)
+        m = self._metrics(spark, words)
+        assert m["stop_hits"] == 0 and m["passes"] is False
+
+    def test_symbol_word_cap(self, spark):
+        base = "the quick brown fox and a dog ran far away today "
+        text = base * 3 + " ".join(["#tag"] * 10)
+        m = self._metrics(spark, text)
+        assert m["symbol_words"] == 10
+        assert 10 * m["symbol_words"] >= m["word_count"]
+        assert m["passes"] is False
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        prose = "the quick brown fox jumps over a lazy dog again and again"
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        m = self._metrics(spark, prose + "\n" + bullets)
+        assert m["bullet_lines"] == 20 and m["n_lines"] == 21
+        assert m["passes"] is False  # 20/21 > 90% bullet lines
+        trailing = "\n".join(
+            [prose] * 2 + ["the story continues..." for _ in range(3)]
+        )
+        m = self._metrics(spark, trailing)
+        assert m["ellipsis_lines"] == 3 and m["n_lines"] == 5
+        assert m["passes"] is False  # 3/5 > 30% ellipsis lines
+
+    def test_empty_and_null(self, spark):
+        from ocr_inference_spark.text.analysis import gopher_quality
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+        for d in (0, 1):
+            assert rows[d]["word_count"] == 0
+            assert rows[d]["mean_word_len_x100"] == 0
+            assert rows[d]["passes"] is False
+
+    def test_unicode_bullet_and_ellipsis(self, spark):
+        text = "• bullet line\nthe end comes soon…"
+        m = self._metrics(spark, text)
+        assert m["bullet_lines"] == 1 and m["ellipsis_lines"] == 1

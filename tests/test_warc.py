@@ -367,3 +367,25 @@ def test_charset_composes_with_content_encoding(spark):
             doc_id, text, meta_charset=meta, extra_para=charset_marker_for(doc_id)
         )
         assert got[doc_id] == expected
+
+
+def test_snapshot_diff_classes(spark):
+    """q59 semantics: the CDC classification over two snapshot builds
+    matches the construction rule, and the builder is deterministic
+    (unchanged pages digest-identical across two independent builds)."""
+    from ocr_inference_spark.queries import q59_crawl_snapshot_diff
+
+    rows = q59_crawl_snapshot_diff(spark, "/root/testdata/sf0.001").collect()
+    got = {r["url"]: r["change"] for r in rows}
+    assert len(got) == 64 + 6  # 64 in A, plus added 64..71 minus %4==2
+    for d in range(72):
+        url = f"http://site{d % 7}.example/doc/{d:08d}"
+        if d >= 64:
+            expected = "added" if d % 4 != 2 else None
+        elif d % 4 == 2:
+            expected = "removed"
+        elif d % 4 == 1:
+            expected = "changed"
+        else:
+            expected = "unchanged"
+        assert got.get(url) == expected, (d, got.get(url))
