@@ -2306,6 +2306,129 @@ FROM counted
 """
 
 
+def q61_wet_roundtrip(spark, sf_dir):
+    """WET text-export sink under the hard gate — the WRITE half of the
+    archive layer (Common Crawl's .wet convention: extracted plain text
+    re-archived as ISO 28500 `conversion` records, one gzip member per
+    record). Pipeline: WARC corpus -> reader -> main-content spans ->
+    per-doc text (text spans joined by newline in span order) ->
+    wet_export WRITES real WET files -> wet_extract_text reads them
+    back -> (url, md5, length). The oracle derives the same text
+    relationally from the q44 span rule — so the writer's record
+    grammar, gzip member framing, UTF-8 payload round-trip, and the
+    reader all sit under one hash. Plan: span assembly is one
+    collect_list agg; file build is one applyInPandas group; text
+    never shuffles twice."""
+    from .text.html_extract import html_extract_spans
+    from .text.warc import (
+        synth_warc_corpus,
+        warc_extract_html,
+        wet_export,
+        wet_extract_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = warc_extract_html(synth_warc_corpus(spark, docs, n_docs=64))
+    spans = html_extract_spans(pages)
+    texts = (
+        spans.where(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    urls = pages.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("did"),
+        "url",
+    )
+    texts = texts.join(F.broadcast(urls), "doc_id").select(
+        F.col("did").alias("doc_id"), "url", "text"
+    )
+    back = wet_extract_text(wet_export(texts))
+    return back.select(
+        "url",
+        F.md5(F.col("text")).alias("text_digest"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _q61_oracle() -> str:
+    return f"""
+WITH s AS (SELECT * FROM ({_q44_oracle()}) WHERE kind = 'text'),
+j AS (
+  SELECT CAST(doc_id AS BIGINT) AS d,
+         string_agg(text, chr(10) ORDER BY "offset") AS t
+  FROM s GROUP BY 1
+)
+SELECT printf('http://site%d.example/doc/%08d', d % 7, d) AS url,
+  md5(t) AS text_digest, CAST(strlen(t) AS BIGINT) AS n_chars
+FROM j
+"""
+
+
+def q62_politeness_schedule(spark, sf_dir):
+    """Host-politeness fetch scheduler — the frontier step after robots
+    filtering: canonicalized distinct URLs are assigned per-host fetch
+    slots honoring a per-domain crawl delay (delay derived from the
+    domain's site digit: 1 + k % 5 seconds — the deterministic stand-in
+    for a robots Crawl-delay/operator config). slot = dense per-domain
+    position ordered by canonical URL; fetch_ts_s = slot * delay. The
+    input is the q50 messy-capture log, so URL canonicalization AND
+    capture dedup sit inside this gate too. Plan: ONE shuffle (the
+    window partition on domain). Scale note: politeness serializes each
+    host by definition, so the crawl's parallelism bound is #hosts, not
+    #URLs — the window shape matches that reality; a mega-host is a
+    long schedule, not a skew pathology, and needs no salting because
+    its fetches cannot be parallelized anyway."""
+    from pyspark.sql import Window
+
+    from .text.urlnorm import normalize_urls, synth_messy_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    caps = (
+        normalize_urls(synth_messy_urls(spark, docs, n_docs=64))
+        .where(F.col("url_norm").isNotNull())
+        .select("url_norm", "domain")
+        .distinct()
+    )
+    delay = (
+        F.lit(1)
+        + F.regexp_extract(F.col("domain"), r"([0-9])", 1).cast("int") % 5
+    ).cast("long")
+    w = Window.partitionBy("domain").orderBy("url_norm")
+    return caps.select(
+        "url_norm",
+        "domain",
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+        ((F.row_number().over(w) - 1).cast("long") * delay).alias(
+            "fetch_ts_s"
+        ),
+    )
+
+
+def _q62_oracle() -> str:
+    return f"""
+WITH clean AS ({_q50_oracle()}),
+urls AS (SELECT DISTINCT url_norm, domain FROM clean),
+slotted AS (
+  SELECT url_norm, domain,
+    CAST(row_number() OVER (PARTITION BY domain ORDER BY url_norm) - 1
+         AS BIGINT) AS slot,
+    CAST(1 + CAST(regexp_extract(domain, '([0-9])', 1) AS INTEGER) % 5
+         AS BIGINT) AS delay
+  FROM urls
+)
+SELECT url_norm, domain, slot, slot * delay AS fetch_ts_s FROM slotted
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2367,6 +2490,8 @@ QUERIES = {
     "q58_link_pagerank": q58_link_pagerank,
     "q59_crawl_snapshot_diff": q59_crawl_snapshot_diff,
     "q60_gopher_quality": q60_gopher_quality,
+    "q61_wet_roundtrip": q61_wet_roundtrip,
+    "q62_politeness_schedule": q62_politeness_schedule,
 }
 
 ORACLES = {
@@ -2427,6 +2552,8 @@ ORACLES = {
     "q58_link_pagerank": _q58_oracle(),
     "q59_crawl_snapshot_diff": _q59_oracle(),
     "q60_gopher_quality": _q60_oracle(),
+    "q61_wet_roundtrip": _q61_oracle(),
+    "q62_politeness_schedule": _q62_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

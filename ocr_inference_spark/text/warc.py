@@ -724,3 +724,89 @@ def warc_cdx_index(warc_df: DataFrame) -> DataFrame:
             "digest string, redirect string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WET text export (the Common Crawl "WARC-converted" sibling format):
+# extracted plain text re-archived as ISO 28500 `conversion` records,
+# one gzip member per record. This is the WRITE half of the archive
+# layer — the reader above must round-trip it byte-exactly.
+# ---------------------------------------------------------------------------
+
+
+def wet_record(url: str, text: str) -> bytes:
+    """One WET conversion record. Record id is content-derived (like
+    warc_record); WARC-Refers-To is a deterministic urn derived from
+    the capture URI — the extraction pipeline does not carry the source
+    response's record id through, so the linkage key is the URI (a
+    documented deviation from Common Crawl, which threads the id)."""
+    payload = text.encode("utf-8")
+    rid = hashlib.md5(b"conversion\x00" + payload).hexdigest()
+    src = hashlib.md5(url.encode("utf-8")).hexdigest()
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        f"WARC-Date: {WARC_DATE}".encode("ascii"),
+        f"WARC-Record-ID: <urn:synth:{rid}>".encode("ascii"),
+        f"WARC-Target-URI: {url}".encode("ascii"),
+        f"WARC-Refers-To: <urn:synth:src-{src}>".encode("ascii"),
+        b"Content-Type: text/plain",
+        f"Content-Length: {len(payload)}".encode("ascii"),
+    ]
+    return CRLF.join(head) + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def wet_export(texts_df: DataFrame, docs_per_file: int = 8) -> DataFrame:
+    """(doc_id, url, text) -> (wet_name, data) WET files: a warcinfo
+    member followed by one conversion record per document (doc_id
+    order inside the file), each its own gzip member (the Common Crawl
+    member-per-record convention, so a reader can split work without
+    parsing). One shuffle (docs onto their file id); each file's bytes
+    are a pure function of its rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = texts_df.select("doc_id", "url", "text").withColumn(
+        "file_id", (F.col("doc_id") / docs_per_file).cast("long")
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        file_id = int(key[0])
+        info = warc_record(
+            "warcinfo", b"software: ocr_inference_spark wet_export\r\n"
+        )
+        parts = [_gzip_member(info)]
+        pdf = pdf.sort_values("doc_id")
+        for url, text in zip(pdf["url"], pdf["text"]):
+            parts.append(_gzip_member(wet_record(str(url), str(text or ""))))
+        return pd.DataFrame(
+            {
+                "wet_name": [f"synth-{file_id:04d}.warc.wet"],
+                "data": [b"".join(parts)],
+            }
+        )
+
+    return src.groupBy("file_id").applyInPandas(
+        kernel, schema="wet_name string, data binary"
+    )
+
+
+def wet_extract_text(wet_df: DataFrame) -> DataFrame:
+    """(wet_name, data) -> (url, text) from conversion records. Zero
+    shuffle; tolerant of damaged members via the shared record walk."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "text": []}
+            for data in pdf["data"]:
+                for headers, payload in iter_warc_records(bytes(data)):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    out["url"].append(headers.get("warc-target-uri", ""))
+                    out["text"].append(payload.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return wet_df.select("data").mapInPandas(
+        kernel, schema="url string, text string"
+    )

@@ -116,3 +116,24 @@ def test_null_and_bad_urls_pass_through_as_nulls(spark):
     assert rows[0].url_norm == "http://ok.example/x"
     assert rows[0].domain == "ok.example"
     assert all(r.url_norm is None and r.domain is None for r in rows[1:])
+
+
+def test_politeness_schedule_invariants(spark):
+    """q62: slots are dense 0..n-1 per domain; fetch_ts = slot * delay
+    with delay = 1 + site-digit % 5; deterministic across runs."""
+    from ocr_inference_spark.queries import q62_politeness_schedule
+
+    rows = q62_politeness_schedule(spark, "/root/testdata/sf0.001").collect()
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_domain.items():
+        rs.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in rs] == list(range(len(rs)))
+        digit = next(c for c in dom if c.isdigit())
+        delay = 1 + int(digit) % 5
+        for r in rs:
+            assert r["fetch_ts_s"] == r["slot"] * delay
+        # within-domain order is by canonical URL
+        urls = [r["url_norm"] for r in rs]
+        assert urls == sorted(urls)

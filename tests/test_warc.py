@@ -389,3 +389,60 @@ def test_snapshot_diff_classes(spark):
         else:
             expected = "unchanged"
         assert got.get(url) == expected, (d, got.get(url))
+
+
+class TestWetExport:
+    def test_record_grammar(self):
+        from ocr_inference_spark.text.warc import iter_warc_records, wet_record
+
+        rec = wet_record("http://h.example/x", "line one\nline two")
+        recs = list(iter_warc_records(rec))
+        assert len(recs) == 1
+        headers, payload = recs[0]
+        assert headers["warc-type"] == "conversion"
+        assert headers["warc-target-uri"] == "http://h.example/x"
+        assert headers["content-type"] == "text/plain"
+        assert headers["warc-refers-to"].startswith("<urn:synth:src-")
+        assert payload.decode() == "line one\nline two"
+
+    def test_roundtrip_unicode_and_newlines(self, spark):
+        from ocr_inference_spark.text.warc import wet_export, wet_extract_text
+
+        texts = [
+            (0, "http://h.example/0", "héllo wörld\n\nü…"),
+            (1, "http://h.example/1", ""),
+            (9, "http://h.example/9", "x" * 10_000),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, url string, text string")
+        files = wet_export(df).collect()
+        # 0,1 share file 0; 9 is file 1 — member-per-record gzip layout
+        assert sorted(r["wet_name"] for r in files) == [
+            "synth-0000.warc.wet",
+            "synth-0001.warc.wet",
+        ]
+        for r in files:
+            assert bytes(r["data"])[:2] == b"\x1f\x8b"
+        back = {
+            r["url"]: r["text"]
+            for r in wet_extract_text(wet_export(df)).collect()
+        }
+        assert back == {u: t for _, u, t in texts}
+
+    def test_damaged_member_skipped(self, spark):
+        import pandas as pd
+
+        from ocr_inference_spark.text.warc import wet_export, wet_extract_text
+
+        df = spark.createDataFrame(
+            [(0, "http://h.example/0", "keep me"),
+             (1, "http://h.example/1", "also kept")],
+            "doc_id long, url string, text string",
+        )
+        data = bytes(wet_export(df).collect()[0]["data"])
+        # corrupt the LAST gzip member's tail: earlier members survive
+        broken = data[:-20] + b"\x00" * 20
+        pdf = pd.DataFrame({"wet_name": ["x.wet"], "data": [broken]})
+        got = wet_extract_text(spark.createDataFrame(pdf)).collect()
+        urls = {r["url"] for r in got}
+        assert "http://h.example/0" in urls  # first doc survives
+        assert len(urls) < 2 or "also kept" in {r["text"] for r in got}
