@@ -54,6 +54,12 @@ HEADLINE = [
     # round-5 addition: WARC container ingestion (gzip-member split +
     # record walk + HTTP transfer decode feeding the HTML extractor)
     "q48_warc_extract_spans",
+    # late round-5 additions: the iterative link-graph rank (per-round
+    # join+agg shuffle discipline) and the Gopher gate (zero-exchange
+    # whole-table integer scan — the only new query that SCALES with
+    # the corpus rather than a fixed gate slice)
+    "q58_link_pagerank",
+    "q60_gopher_quality",
 ]
 
 
