@@ -2429,6 +2429,120 @@ SELECT url_norm, domain, slot, slot * delay AS fetch_ts_s FROM slotted
 """
 
 
+def q63_substring_dup_windows(spark, sf_dir):
+    """Exact-substring duplication detection (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better' — the
+    suffix-array family, expressed as windowed hashing): every 32-char
+    character window of every document is materialized and aggregated;
+    windows occurring in >= 2 DISTINCT documents are the
+    cross-document duplicated substrings a span-level dedup pass would
+    excise. Pure Catalyst (explode(sequence) + substring + one
+    hash-agg with map-side partial aggregation) — no Python. Scale
+    posture: the shuffle carries L x corpus rows; a 10^12-doc run
+    samples window positions (every k-th) or pre-hashes windows to
+    8-byte keys before the agg — both documented reductions of the
+    same semantics, which this gate pins exactly."""
+    W = 32
+    docs = _t(spark, sf_dir, "documents")
+    wins = (
+        docs.select("doc_id", "text")
+        .where(F.length(F.coalesce(F.col("text"), F.lit(""))) >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - W)
+            ).alias("p"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, p + 1, {W})").alias("win"))
+    )
+    return (
+        wins.groupBy("win")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _q63_oracle() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, substring(text, CAST(p AS INTEGER) + 1, 32) AS win
+  FROM documents,
+    LATERAL (SELECT unnest(range(0, length(coalesce(text, '')) - 32 + 1))
+             AS p)
+  WHERE length(coalesce(text, '')) >= 32
+)
+SELECT win, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occ
+FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q64_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rules (the §A1.1 repetition family, word
+    level): most-frequent-word and most-frequent-bigram counts with
+    x1000 fixed-point fractions and the passes_repetition verdict
+    (top word <= 15.0%%, top bigram <= 6.0%% — adapted thresholds,
+    documented in text/analysis.py). Complements q60's length/
+    stopword/symbol rules; together they are the published pre-dedup
+    quality gate. Pure-Catalyst higher-order functions, zero-exchange
+    pruned scan."""
+    from .text.analysis import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_repetition(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "top_word_cnt",
+        "top_word_frac_x1000",
+        "top_bigram_cnt",
+        "top_bigram_frac_x1000",
+        "passes_repetition",
+    )
+
+
+def _q64_oracle() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                w -> w <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+      ELSE [] END AS bg,
+    CAST(len(w) AS BIGINT) AS wc
+  FROM b
+),
+m AS (
+  SELECT doc_id, wc,
+    coalesce(list_max(list_transform(w, x ->
+      CAST(len(list_filter(w, y -> y = x)) AS BIGINT))), 0) AS top_word_cnt,
+    coalesce(list_max(list_transform(bg, x ->
+      CAST(len(list_filter(bg, y -> y = x)) AS BIGINT))), 0)
+      AS top_bigram_cnt
+  FROM g
+)
+SELECT doc_id, top_word_cnt,
+  CASE WHEN wc > 0 THEN (1000 * top_word_cnt) // wc ELSE 0 END
+    AS top_word_frac_x1000,
+  top_bigram_cnt,
+  CASE WHEN wc > 1 THEN (1000 * top_bigram_cnt) // (wc - 1) ELSE 0 END
+    AS top_bigram_frac_x1000,
+  ((top_word_cnt <= 1 OR
+    (CASE WHEN wc > 0 THEN (1000 * top_word_cnt) // wc ELSE 0 END) <= 150)
+   AND (top_bigram_cnt <= 1 OR
+    (CASE WHEN wc > 1 THEN (1000 * top_bigram_cnt) // (wc - 1)
+     ELSE 0 END) <= 60)) AS passes_repetition
+FROM m
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2492,6 +2606,8 @@ QUERIES = {
     "q60_gopher_quality": q60_gopher_quality,
     "q61_wet_roundtrip": q61_wet_roundtrip,
     "q62_politeness_schedule": q62_politeness_schedule,
+    "q63_substring_dup_windows": q63_substring_dup_windows,
+    "q64_gopher_repetition": q64_gopher_repetition,
 }
 
 ORACLES = {
@@ -2554,6 +2670,8 @@ ORACLES = {
     "q60_gopher_quality": _q60_oracle(),
     "q61_wet_roundtrip": _q61_oracle(),
     "q62_politeness_schedule": _q62_oracle(),
+    "q63_substring_dup_windows": _q63_oracle(),
+    "q64_gopher_repetition": _q64_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

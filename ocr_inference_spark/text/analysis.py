@@ -202,6 +202,71 @@ def gopher_quality(df, text_col: str = "text"):
     )
 
 
+def gopher_repetition(df, text_col: str = "text"):
+    """Append Gopher repetition metrics (Rae et al. 2021 §A1.1's
+    repetition family, word-level): top_word_cnt / top_bigram_cnt (the
+    most frequent word / word-bigram occurrence counts), their x1000
+    fixed-point fractions of the word / bigram totals, and the
+    ``passes_repetition`` verdict (top word <= 15.0%, top bigram <=
+    6.0% — thresholds adapted to short-document corpora from the
+    paper's long-document originals; documented constants). The counts
+    are O(words²) per row inside whole-stage-codegen'd higher-order
+    functions — fine for documents, and at 10^12 scale this stays a
+    map-only scan (no shuffle, no Python). Integer arithmetic only, so
+    verdicts are engine-exact. A count of <= 1 is NO repetition and
+    passes regardless of its fraction — without that escape a short
+    document with all-unique bigrams would fail on 1000/(wc-1) alone,
+    which is a length judgment (q60's job), not a repetition one."""
+    staged = (
+        df.withColumn(
+            "w_",
+            F.expr(f"filter(split(coalesce({text_col}, ''), '\\\\s+'),"
+                   " w -> w != '')"),
+        )
+        .withColumn(
+            "bg_",
+            # guard: sequence(0, -k) runs BACKWARD in Spark and the
+            # negative subscripts then raise under ANSI mode
+            F.expr("CASE WHEN size(w_) >= 2 THEN"
+                   " transform(sequence(0, size(w_) - 2),"
+                   "  i -> concat(w_[i], ' ', w_[i + 1]))"
+                   " ELSE array() END"),
+        )
+        .withColumn(
+            "top_word_cnt",
+            F.expr("coalesce(array_max(transform(w_, x ->"
+                   " cast(size(filter(w_, y -> y = x)) as bigint))), 0L)"),
+        )
+        .withColumn(
+            "top_bigram_cnt",
+            F.expr("coalesce(array_max(transform(bg_, x ->"
+                   " cast(size(filter(bg_, y -> y = x)) as bigint))), 0L)"),
+        )
+        .withColumn("wc_", F.expr("cast(size(w_) as bigint)"))
+    )
+    staged = staged.withColumn(
+        "top_word_frac_x1000",
+        F.expr(
+            "CASE WHEN wc_ > 0 THEN (1000 * top_word_cnt) div wc_"
+            " ELSE 0 END"
+        ),
+    ).withColumn(
+        "top_bigram_frac_x1000",
+        F.expr(
+            "CASE WHEN wc_ > 1 THEN (1000 * top_bigram_cnt) div (wc_ - 1)"
+            " ELSE 0 END"
+        ),
+    )
+    return staged.withColumn(
+        "passes_repetition",
+        ((F.col("top_word_cnt") <= 1) | (F.col("top_word_frac_x1000") <= 150))
+        & (
+            (F.col("top_bigram_cnt") <= 1)
+            | (F.col("top_bigram_frac_x1000") <= 60)
+        ),
+    ).drop("w_", "bg_", "wc_")
+
+
 def fingerprint(col, modulus: int = 2_147_483_647, base: int = 31) -> Column:
     """Polynomial rolling hash over character code points, mod a Mersenne
     prime — a deterministic document fingerprint computable identically

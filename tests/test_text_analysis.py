@@ -142,3 +142,66 @@ class TestGopherQuality:
         text = "• bullet line\nthe end comes soon…"
         m = self._metrics(spark, text)
         assert m["bullet_lines"] == 1 and m["ellipsis_lines"] == 1
+
+
+class TestGopherRepetition:
+    def _m(self, spark, text):
+        from ocr_inference_spark.text.analysis import gopher_repetition
+
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return gopher_repetition(df).collect()[0].asDict()
+
+    def test_no_repetition_passes(self, spark):
+        m = self._m(spark, "each word appears exactly once here today")
+        assert m["top_word_cnt"] == 1 and m["top_bigram_cnt"] == 1
+        assert m["passes_repetition"] is True
+
+    def test_repeated_word_fails(self, spark):
+        text = "spam " * 30 + "alpha beta gamma delta epsilon"
+        m = self._m(spark, text)
+        assert m["top_word_cnt"] == 30
+        assert m["top_word_frac_x1000"] > 150
+        assert m["passes_repetition"] is False
+
+    def test_repeated_bigram_counted(self, spark):
+        text = ("one two " * 5).strip()  # bigram 'one two' x5, 'two one' x4
+        m = self._m(spark, text)
+        assert m["top_bigram_cnt"] == 5
+
+    def test_empty_and_single_word(self, spark):
+        m = self._m(spark, "")
+        assert m["top_word_cnt"] == 0 and m["top_bigram_cnt"] == 0
+        assert m["passes_repetition"] is True  # nothing repeats
+        m = self._m(spark, "solo")
+        assert m["top_word_cnt"] == 1 and m["top_word_frac_x1000"] == 1000
+        assert m["passes_repetition"] is True  # count 1 = no repetition
+
+    def test_substring_windows_cross_doc_only(self, spark):
+        """q63 semantics on a planted corpus: a 32-char phrase shared by
+        two docs is reported; a phrase inside only one doc is not."""
+        from pyspark.sql import functions as F
+
+        shared = "x" * 32
+        docs = spark.createDataFrame(
+            [(0, "aa " + shared + " bb"), (1, "cc " + shared), (2, "y" * 40)],
+            "doc_id long, text string",
+        )
+        W = 32
+        wins = (
+            docs.where(F.length("text") >= W)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.length("text") - W)).alias("p"),
+                "text",
+            )
+            .select("doc_id", F.expr(f"substring(text, p + 1, {W})").alias("win"))
+        )
+        out = (
+            wins.groupBy("win")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= 2)
+            .collect()
+        )
+        # both docs contain the space-prefixed 31-x window too ("aa " /
+        # "cc " precede the run) — the x-run shifted by one char
+        assert {r["win"] for r in out} == {shared, " " + "x" * 31}
