@@ -2543,6 +2543,141 @@ FROM m
 """
 
 
+def q65_c4_line_filter(spark, sf_dir):
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2) — the
+    published pre-dedup pass between extraction (q44/q48) and the
+    Gopher gates (q60/q64): keep lines ending in terminal punctuation
+    with >= 5 words and no javascript/policy boilerplate; kill pages
+    carrying 'lorem ipsum', a curly brace, or < 3 surviving
+    sentences. A deterministic raw page per documents row (5-word
+    body windows with rule-violating mutations plus boilerplate lines
+    injected by doc_id arithmetic) is filtered by text/c4.py; the
+    oracle reconstructs page AND verdict relationally, so line
+    segmentation, every string predicate, and the retained-text md5
+    sit under one hash. Pure Catalyst, zero-exchange map-only scan —
+    the 100-TB posture is 'free' next to the extraction that feeds
+    it."""
+    from .text.c4 import c4_filter, synth_c4_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_filter(synth_c4_pages(docs)).select(
+        "doc_id", "n_lines", "kept_lines", "page_kept", "clean_md5"
+    )
+
+
+def _q65_oracle() -> str:
+    from .text.c4 import (
+        MAX_BODY_LINES,
+        MIN_LINE_WORDS,
+        MIN_SENTENCES,
+        POLICY_PHRASES,
+    )
+
+    policy = " OR ".join(
+        f"contains(lower(l), '{p}')" for p in POLICY_PHRASES
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                w -> w <> '') AS w
+  FROM documents
+),
+pg AS (
+  SELECT doc_id,
+    array_to_string(list_concat(
+      list_transform(range(0, least(len(w) // 5, {MAX_BODY_LINES})),
+        i -> CASE WHEN (doc_id + i) % 4 = 1
+          THEN array_to_string(list_slice(w, i*5 + 1,
+            i*5 + CASE WHEN (doc_id + i) % 3 = 0 THEN 4 ELSE 5 END), ' ')
+          ELSE array_to_string(list_slice(w, i*5 + 1,
+            i*5 + CASE WHEN (doc_id + i) % 3 = 0 THEN 4 ELSE 5 END), ' ')
+            || '.' END),
+      list_concat(list_concat(list_concat(
+        CASE WHEN doc_id % 9 = 2 THEN ['this website uses cookies to improve your experience.'] ELSE [] END,
+        CASE WHEN doc_id % 7 = 0 THEN ['please enable javascript to view this page.'] ELSE [] END),
+        CASE WHEN doc_id % 11 = 3 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+        CASE WHEN doc_id % 13 = 5 THEN ['function parse() {{'] ELSE [] END)
+    ), chr(10)) AS page
+  FROM b
+),
+f AS (
+  SELECT doc_id, page,
+    CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+    list_filter(string_split(page, chr(10)), l ->
+      right(l, 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+              w -> w <> '')) >= {MIN_LINE_WORDS}
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT ({policy})) AS kept
+  FROM pg
+)
+SELECT doc_id, n_lines,
+  CAST(len(kept) AS BIGINT) AS kept_lines,
+  (NOT contains(lower(page), 'lorem ipsum')
+   AND NOT contains(page, '{{')
+   AND len(kept) >= {MIN_SENTENCES}) AS page_kept,
+  CASE WHEN NOT contains(lower(page), 'lorem ipsum')
+        AND NOT contains(page, '{{')
+        AND len(kept) >= {MIN_SENTENCES}
+    THEN md5(array_to_string(kept, chr(10))) ELSE NULL END AS clean_md5
+FROM f
+"""
+
+
+def q66_url_filter(spark, sf_dir):
+    """URL-level frontier filtering (RefinedWeb §2.2 / Appendix G.1)
+    — the stage BEFORE fetch: domain blocklist matched at every
+    dot-suffix level, weighted soft-word score over distinct URL
+    tokens, curated allowlist overriding both. The deterministic
+    frontier puts every rule under the hash (blocklisted domain,
+    blocked subdomain, allowlisted host carrying a banned word,
+    word-score paths at/below threshold). Scale posture: suffix and
+    token matching are BROADCAST equi-joins against list relations
+    (production blocklists hold millions of rows — no literal
+    folding), and the only shuffles carry (doc_id, bool/int) pairs."""
+    from .text.urlfilter import synth_frontier_urls, url_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_filter(spark, synth_frontier_urls(docs))
+
+
+def _q66_oracle() -> str:
+    return """
+WITH src AS (
+  SELECT doc_id, doc_id % 7 AS m7, doc_id % 5 AS m5 FROM documents
+),
+u AS (
+  SELECT doc_id, m7, m5,
+    CASE m7 WHEN 3 THEN 'casino-win.example'
+            WHEN 5 THEN 'ads.tracker.net'
+            WHEN 6 THEN 'poker.archive.example'
+            ELSE 'site' || m7 || '.example' END AS host,
+    CASE m5 WHEN 1 THEN '/free-download' WHEN 2 THEN '/bet-now'
+            WHEN 3 THEN '/win-big' ELSE '/news' END AS seg,
+    CASE WHEN m7 = 3 THEN 3 WHEN m7 = 6 THEN 2 ELSE 0 END
+      + CASE m5 WHEN 1 THEN 2 WHEN 2 THEN 2
+                WHEN 3 THEN (CASE WHEN m7 = 3 THEN 0 ELSE 1 END)
+                ELSE 0 END AS score
+  FROM src
+),
+v AS (
+  SELECT doc_id,
+    'http://' || host || '/page/' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+      || seg AS url,
+    host, CAST(score AS BIGINT) AS score,
+    CASE WHEN m7 = 6 THEN 'allowlist'
+         WHEN m7 IN (3, 5) THEN 'domain_blocklist'
+         WHEN score >= 2 THEN 'word_score'
+         ELSE 'clean' END AS reason
+  FROM u
+)
+SELECT doc_id, url, host, score, reason,
+  reason IN ('allowlist', 'clean') AS allowed
+FROM v
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2608,6 +2743,8 @@ QUERIES = {
     "q62_politeness_schedule": q62_politeness_schedule,
     "q63_substring_dup_windows": q63_substring_dup_windows,
     "q64_gopher_repetition": q64_gopher_repetition,
+    "q65_c4_line_filter": q65_c4_line_filter,
+    "q66_url_filter": q66_url_filter,
 }
 
 ORACLES = {
@@ -2672,6 +2809,8 @@ ORACLES = {
     "q62_politeness_schedule": _q62_oracle(),
     "q63_substring_dup_windows": _q63_oracle(),
     "q64_gopher_repetition": _q64_oracle(),
+    "q65_c4_line_filter": _q65_oracle(),
+    "q66_url_filter": _q66_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
