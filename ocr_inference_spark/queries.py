@@ -2678,6 +2678,110 @@ FROM v
 """
 
 
+BM25_QUERY_TERMS = ("spark", "vector", "customer")
+
+
+def q67_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; the Lucene
+    idf variant) — the search half of corpus indexing: contamination
+    and eval-leakage scans at training scale are exactly 'rank the
+    corpus against a query'. Integer-exact scoring (x1e6-floored
+    double idf — both engines' ln probed bit-identical across a dense
+    (N, df) sweep — times an x1000 exact-rational tf saturation term;
+    per-term int contributions so the sum is order-free), k=20 with a
+    doc_id tiebreak for a deterministic cut. Plan: one explode+agg
+    token pass shared by postings and doc lengths, query-term filter
+    FIRST (bucket-prunable on a real index), df/idf and corpus
+    constants broadcast, TakeOrderedAndProject for the cut."""
+    from .text.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs.select("doc_id", "text"), BM25_QUERY_TERMS, k=20
+    )
+
+
+def _q67_oracle() -> str:
+    from .text.retrieval import IDF_SCALE, TFC_SCALE
+
+    qlist = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+      '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS n_toks FROM dl
+),
+hits AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({qlist}) GROUP BY term, doc_id
+),
+idf AS (
+  SELECT term,
+    CAST(floor({IDF_SCALE} * ln(1.0 +
+      (2.0 * n_docs - 2 * df + 1) / (2 * df + 1))) AS BIGINT) AS idf_micro
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM hits GROUP BY term) CROSS JOIN stats
+),
+scored AS (
+  SELECT h.doc_id,
+    CAST(sum(i.idf_micro * (({TFC_SCALE} * 22 * h.tf * s.n_toks) //
+      (10 * s.n_toks * h.tf + 3 * s.n_toks + 9 * d.dl * s.n_docs)))
+      AS BIGINT) AS score,
+    CAST(count(*) AS BIGINT) AS n_hits
+  FROM hits h JOIN idf i USING (term) JOIN dl d ON h.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY h.doc_id
+)
+SELECT doc_id, score, n_hits FROM scored
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q68_inverted_index_stats(spark, sf_dir):
+    """Inverted-index construction statistics: per-term df, cf, and
+    the argmax posting (top_doc/top_tf, doc_id-min tiebreak) over the
+    (term, doc_id, tf) postings relation — the build side of q67's
+    retrieval. Two integer-row shuffles (postings hash-agg, per-term
+    rollup); at warehouse scale the postings write is bucketed by
+    term so retrieval prunes instead of scanning."""
+    from .text.retrieval import index_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return index_stats(docs.select("doc_id", "text"))
+
+
+def _q68_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+      '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+p AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+),
+r AS (
+  SELECT term, tf, doc_id,
+    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC)
+      AS rn,
+    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+    CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS cf
+  FROM p
+)
+SELECT term, df, cf, doc_id AS top_doc, tf AS top_tf FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2745,6 +2849,8 @@ QUERIES = {
     "q64_gopher_repetition": q64_gopher_repetition,
     "q65_c4_line_filter": q65_c4_line_filter,
     "q66_url_filter": q66_url_filter,
+    "q67_bm25_topk": q67_bm25_topk,
+    "q68_inverted_index_stats": q68_inverted_index_stats,
 }
 
 ORACLES = {
@@ -2811,6 +2917,8 @@ ORACLES = {
     "q64_gopher_repetition": _q64_oracle(),
     "q65_c4_line_filter": _q65_oracle(),
     "q66_url_filter": _q66_oracle(),
+    "q67_bm25_topk": _q67_oracle(),
+    "q68_inverted_index_stats": _q68_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
