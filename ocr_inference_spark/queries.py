@@ -2782,6 +2782,43 @@ SELECT term, df, cf, doc_id AS top_doc, tf AS top_tf FROM r WHERE rn = 1
 """
 
 
+def q69_html_metadata(spark, sf_dir):
+    """Crawl-index head metadata: <title> (rawtext, entity-decoded),
+    meta description, og:title, rel=canonical link, publication date
+    (meta date | article:published_time) — the fields a crawl index
+    keys on next to q49's digests. The corpus splices a deliberately
+    messy metadata block into the standard q44 page (uppercase tags,
+    single-quoted AND unquoted attribute values, swapped attribute
+    order, entities in content, doc_id-ruled omissions so every
+    column exercises NULL); the oracle derives every field from
+    doc_id arithmetic, so tokenizer attribute handling, case
+    folding, first-wins repeats, and entity decode all sit under the
+    hash. Shuffle-free mapInPandas — the q44 extraction shape."""
+    from .text.html_extract import html_metadata, synth_metadata_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return html_metadata(synth_metadata_corpus(spark, docs, n_docs=64))
+
+
+def _q69_oracle() -> str:
+    return """
+SELECT doc_id,
+  'site ' || (doc_id % 7) || ' — page' AS title,
+  CASE WHEN doc_id % 4 <> 1
+    THEN 'doc ' || doc_id || ' summary & notes' END AS description,
+  CASE WHEN doc_id % 6 <> 2
+    THEN 'Portal ' || (doc_id % 7) || ' — ' ||
+         printf('%08d', doc_id) END AS og_title,
+  CASE WHEN doc_id % 5 <> 3
+    THEN 'http://site' || (doc_id % 7) || '.example/doc/' ||
+         printf('%08d', doc_id) END AS canonical,
+  CASE WHEN doc_id % 7 <> 4
+    THEN '2024-' || printf('%02d', 1 + doc_id % 12) || '-' ||
+         printf('%02d', 1 + doc_id % 28) END AS pub_date
+FROM documents WHERE doc_id < 64
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2851,6 +2888,7 @@ QUERIES = {
     "q66_url_filter": q66_url_filter,
     "q67_bm25_topk": q67_bm25_topk,
     "q68_inverted_index_stats": q68_inverted_index_stats,
+    "q69_html_metadata": q69_html_metadata,
 }
 
 ORACLES = {
@@ -2919,6 +2957,7 @@ ORACLES = {
     "q66_url_filter": _q66_oracle(),
     "q67_bm25_topk": _q67_oracle(),
     "q68_inverted_index_stats": _q68_oracle(),
+    "q69_html_metadata": _q69_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

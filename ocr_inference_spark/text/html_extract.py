@@ -429,3 +429,150 @@ def synth_html_corpus(spark: SparkSession, docs_df: DataFrame, n_docs: int = 64)
     return src.repartition(n_parts, "doc_id").mapInPandas(
         kernel, schema="doc_id long, html string"
     )
+
+
+# ---------------------------------------------------------------------------
+# head-metadata extraction (title / meta / canonical link / date)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</\s*title\s*>", re.I | re.S)
+
+
+def extract_metadata(doc: str) -> dict[str, str | None]:
+    """Document metadata the crawl index keys on: <title> text,
+    meta[name=description], meta[property=og:title],
+    link[rel=canonical] href, and the publication date
+    (meta[name=date] | meta[property=article:published_time]).
+    First occurrence wins (the WHATWG processing model for repeated
+    head metadata); names/rels compare case-insensitively; values are
+    entity-decoded and whitespace-collapsed. Reuses the module's
+    tolerant linear tokenizer — <title> alone needs a regex because
+    the tokenizer (correctly, for the span extractor) swallows
+    rawtext element bodies."""
+    out: dict[str, str | None] = {
+        "title": None,
+        "description": None,
+        "og_title": None,
+        "canonical": None,
+        "pub_date": None,
+    }
+    m = _TITLE_RE.search(doc)
+    if m is not None:
+        out["title"] = _WS_RE.sub(
+            " ", _htmlmod.unescape(m.group(1))
+        ).strip() or None
+    for ev in _tokenize(doc):
+        if ev[0] != "start":
+            continue
+        tag, attrs = ev[1], ev[2]
+        if tag == "meta":
+            name = attrs.get("name", "").lower()
+            prop = attrs.get("property", "").lower()
+            content = attrs.get("content")
+            if content is None:
+                continue
+            val = _WS_RE.sub(" ", _htmlmod.unescape(content)).strip()
+            if name == "description" and out["description"] is None:
+                out["description"] = val
+            elif prop == "og:title" and out["og_title"] is None:
+                out["og_title"] = val
+            elif (
+                name == "date" or prop == "article:published_time"
+            ) and out["pub_date"] is None:
+                out["pub_date"] = val
+        elif tag == "link":
+            rel = attrs.get("rel", "").lower()
+            href = attrs.get("href")
+            if rel == "canonical" and href and out["canonical"] is None:
+                out["canonical"] = href.strip()
+    return out
+
+
+def html_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) -> one metadata row per page. mapInPandas,
+    shuffle-free — the same embarrassingly-parallel 100-TB shape as
+    span extraction."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [extract_metadata(h or "") for h in pdf[html_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "title": [r["title"] for r in rows],
+                    "description": [r["description"] for r in rows],
+                    "og_title": [r["og_title"] for r in rows],
+                    "canonical": [r["canonical"] for r in rows],
+                    "pub_date": [r["pub_date"] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, title string, description string,"
+            " og_title string, canonical string, pub_date string"
+        ),
+    )
+
+
+def synth_metadata_head(doc_id: int) -> list[str]:
+    """Head-metadata lines for the q69 corpus, messy on purpose:
+    uppercase tag/attr spellings, single-quoted and UNQUOTED attribute
+    values, swapped attribute order, entities in content — with
+    doc_id-ruled omissions so every output column exercises NULL.
+    Kept separate from synth_html_for so the byte-exact corpora the
+    CDX digest oracles rebuild (q49/q59) stay untouched."""
+    k = doc_id % 7
+    lines: list[str] = []
+    if doc_id % 4 != 1:
+        lines.append(
+            f'<meta name="description" content="doc {doc_id} summary'
+            ' &amp; notes">'
+        )
+    if doc_id % 6 != 2:
+        lines.append(
+            f"<META Content='Portal {k} &mdash; {doc_id:08d}'"
+            " Property='og:title'>"
+        )
+    if doc_id % 5 != 3:
+        lines.append(
+            f"<link rel=canonical href=http://site{k}.example/doc/"
+            f"{doc_id:08d}>"
+        )
+    if doc_id % 7 != 4:
+        lines.append(
+            f'<meta name="date" content="2024-{1 + doc_id % 12:02d}-'
+            f'{1 + doc_id % 28:02d}">'
+        )
+    return lines
+
+
+def synth_metadata_corpus(
+    spark: SparkSession, docs_df: DataFrame, n_docs: int = 64
+) -> DataFrame:
+    """documents -> (doc_id, html) pages whose head carries the messy
+    metadata block (spliced after the <title> line of the standard
+    q44 page)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = docs_df.select("doc_id", "text").where(F.col("doc_id") < n_docs)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, pages = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                page = synth_html_for(d, t or "").split("\n")
+                # line 1 is the <head><title> line of the template
+                page[2:2] = synth_metadata_head(d)
+                ids.append(d)
+                pages.append("\n".join(page))
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return src.repartition(n_parts, "doc_id").mapInPandas(
+        kernel, schema="doc_id long, html string"
+    )

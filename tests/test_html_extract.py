@@ -200,3 +200,90 @@ def test_sniff_decode_meta_only_in_prescan_window():
     pad = "<!--" + "x" * 1100 + "-->"
     doc = f'{pad}<meta charset="utf-16"><p>plain ascii</p>'
     assert sniff_decode(doc.encode("ascii"), "") == doc
+
+
+# ---------------------------------------------------------------------------
+# head-metadata extraction
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_first_wins_and_case_folding():
+    from ocr_inference_spark.text.html_extract import extract_metadata
+
+    doc = (
+        "<html><head><TITLE> A &amp;\n B </TITLE>"
+        '<META NAME="Description" content="first">'
+        '<meta name="description" content="second">'
+        "<LINK REL='Canonical' HREF='http://a.example/x'>"
+        '<link rel="canonical" href="http://b.example/y">'
+        '<meta property="ARTICLE:PUBLISHED_TIME" content="2023-01-02">'
+        "</head><body><p>hi</p></body></html>"
+    )
+    m = extract_metadata(doc)
+    assert m["title"] == "A & B"
+    assert m["description"] == "first"
+    assert m["canonical"] == "http://a.example/x"
+    assert m["pub_date"] == "2023-01-02"
+    assert m["og_title"] is None
+
+
+def test_metadata_tolerant_on_damage():
+    from ocr_inference_spark.text.html_extract import extract_metadata
+
+    for doc in (
+        "",
+        "<title>only a title",
+        "<meta name=description>",  # no content attr
+        "<link rel=canonical>",  # no href
+        "<meta name='description' content='x'",  # truncated tag
+        "\x00<binary>\xff garbage",
+    ):
+        m = extract_metadata(doc)
+        assert set(m) == {
+            "title", "description", "og_title", "canonical", "pub_date",
+        }
+        assert m["description"] in (None, "x")
+
+
+def test_metadata_unquoted_and_meta_in_body():
+    from ocr_inference_spark.text.html_extract import extract_metadata
+
+    doc = (
+        "<html><head></head><body>"
+        "<meta name=date content=2020-05-06>"
+        "<link rel=canonical href=http://c.example/z></body></html>"
+    )
+    m = extract_metadata(doc)
+    assert m["pub_date"] == "2020-05-06"
+    assert m["canonical"] == "http://c.example/z"
+    assert m["title"] is None
+
+
+def test_metadata_corpus_roundtrip(spark):
+    """Spark kernel over the messy synthetic corpus reproduces the
+    doc_id-derived expectations, NULL slots included."""
+    from pyspark.sql import Row
+
+    from ocr_inference_spark.text.html_extract import (
+        html_metadata,
+        synth_metadata_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta " * 30) for i in range(64)]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in html_metadata(
+            synth_metadata_corpus(spark, docs, n_docs=64)
+        ).collect()
+    }
+    assert len(rows) == 64
+    r10 = rows[10]
+    assert r10["title"] == "site 3 — page"
+    assert r10["og_title"] == "Portal 3 — 00000010"
+    assert rows[1]["description"] is None  # 1 % 4 == 1
+    assert rows[2]["og_title"] is None  # 2 % 6 == 2
+    assert rows[3]["canonical"] is None  # 3 % 5 == 3
+    assert rows[4]["pub_date"] is None  # 4 % 7 == 4
+    assert rows[5]["pub_date"] == "2024-06-06"
