@@ -60,6 +60,12 @@ HEADLINE = [
     # the corpus rather than a fixed gate slice)
     "q58_link_pagerank",
     "q60_gopher_quality",
+    # final round-5 wave: C4 page cleaning (zero-exchange whole-table
+    # string scan) and BM25 retrieval (explode+agg postings pass +
+    # broadcast idf + TakeOrderedAndProject) — both scale with the
+    # corpus, not a fixed gate slice
+    "q65_c4_line_filter",
+    "q67_bm25_topk",
 ]
 
 

@@ -2819,6 +2819,287 @@ FROM documents WHERE doc_id < 64
 """
 
 
+FUNNEL_STAGES = (
+    "extracted",
+    "c4_clean",
+    "gopher_quality",
+    "gopher_repetition",
+    "exact_dedup",
+)
+
+
+def q70_quality_funnel(spark, sf_dir):
+    """Pipeline attrition report — the observability artifact every
+    published data card carries: documents surviving each cleaning
+    stage in sequence (extracted -> C4 page cleaning -> Gopher
+    length/symbol gate -> Gopher repetition gate -> exact dedup
+    keep-min). One 5-row output whose hash pins EVERY upstream rule
+    at once: flip any verdict anywhere and a count moves. Plan: all
+    four verdicts are expressions over one documents scan (the C4
+    page is re-derived inline, q65's rule), the dedup flag is one
+    md5-key window, then a single-row aggregate explodes into the
+    stage rows — one narrow shuffle + one 1-row agg at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    from .text.analysis import gopher_quality, gopher_repetition
+    from .text.c4 import c4_filter, synth_c4_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = c4_filter(synth_c4_pages(docs, keep_text=True)).select(
+        "doc_id", "text", F.col("page_kept").alias("c4_ok")
+    )
+    base = gopher_quality(base).select(
+        "doc_id", "text", "c4_ok", F.col("passes").alias("gq_ok")
+    )
+    base = gopher_repetition(base).select(
+        "doc_id",
+        "text",
+        "c4_ok",
+        "gq_ok",
+        F.col("passes_repetition").alias("rep_ok"),
+    )
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    base = base.withColumn(
+        "dd_ok",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(key)),
+    )
+    one = base.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.expr("CASE WHEN c4_ok THEN 1 END")).alias("s1"),
+        F.sum(F.expr("CASE WHEN c4_ok AND gq_ok THEN 1 END")).alias("s2"),
+        F.sum(
+            F.expr("CASE WHEN c4_ok AND gq_ok AND rep_ok THEN 1 END")
+        ).alias("s3"),
+        F.sum(
+            F.expr(
+                "CASE WHEN c4_ok AND gq_ok AND rep_ok AND dd_ok"
+                " THEN 1 END"
+            )
+        ).alias("s4"),
+    ).select(
+        *(F.coalesce(F.col(f"s{i}"), F.lit(0)).alias(f"s{i}")
+          for i in range(5))
+    )
+    rows = F.array(
+        *(
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"s{i}").cast("long").alias("survivors"),
+            )
+            for i, nm in enumerate(FUNNEL_STAGES)
+        )
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _q70_oracle() -> str:
+    from .text.analysis import GOPHER_STOPWORDS
+    from .text.c4 import (
+        MAX_BODY_LINES,
+        MIN_LINE_WORDS,
+        MIN_SENTENCES,
+        POLICY_PHRASES,
+    )
+
+    policy = " OR ".join(
+        f"contains(lower(l), '{p}')" for p in POLICY_PHRASES
+    )
+    stop_sum = " + ".join(
+        f"CAST(list_contains(wl, '{s}') AS BIGINT)" for s in GOPHER_STOPWORDS
+    )
+    stages = "\nUNION ALL ".join(
+        f"SELECT {i} AS stage, '{nm}' AS stage_name, s{i} AS survivors"
+        " FROM agg"
+        for i, nm in enumerate(FUNNEL_STAGES)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                w -> w <> '') AS w
+  FROM documents
+),
+pg AS (
+  SELECT doc_id,
+    array_to_string(list_concat(
+      list_transform(range(0, least(len(w) // 5, {MAX_BODY_LINES})),
+        i -> CASE WHEN (doc_id + i) % 4 = 1
+          THEN array_to_string(list_slice(w, i*5 + 1,
+            i*5 + CASE WHEN (doc_id + i) % 3 = 0 THEN 4 ELSE 5 END), ' ')
+          ELSE array_to_string(list_slice(w, i*5 + 1,
+            i*5 + CASE WHEN (doc_id + i) % 3 = 0 THEN 4 ELSE 5 END), ' ')
+            || '.' END),
+      list_concat(list_concat(list_concat(
+        CASE WHEN doc_id % 9 = 2 THEN ['this website uses cookies to improve your experience.'] ELSE [] END,
+        CASE WHEN doc_id % 7 = 0 THEN ['please enable javascript to view this page.'] ELSE [] END),
+        CASE WHEN doc_id % 11 = 3 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+        CASE WHEN doc_id % 13 = 5 THEN ['function parse() {{'] ELSE [] END)
+    ), chr(10)) AS page
+  FROM b
+),
+c4 AS (
+  SELECT doc_id,
+    (NOT contains(lower(page), 'lorem ipsum')
+     AND NOT contains(page, '{{')
+     AND len(list_filter(string_split(page, chr(10)), l ->
+       right(l, 1) IN ('.', '!', '?', '"')
+       AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+               x -> x <> '')) >= {MIN_LINE_WORDS}
+       AND NOT contains(lower(l), 'javascript')
+       AND NOT ({policy}))) >= {MIN_SENTENCES}) AS c4_ok
+  FROM pg
+),
+gq AS (
+  SELECT doc_id,
+    (word_count >= 30 AND word_count <= 100000
+     AND mwl BETWEEN 300 AND 1000 AND stop_hits >= 2
+     AND 10 * symbol_words < word_count
+     AND 10 * bullet_lines < 9 * n_lines
+     AND 10 * ellipsis_lines < 3 * n_lines) AS gq_ok
+  FROM (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS word_count,
+      CASE WHEN len(w) > 0 THEN (100 * CAST(strlen(regexp_replace(
+        text, '\\s', '', 'g')) AS BIGINT)) // len(w) ELSE 0 END AS mwl,
+      (SELECT {stop_sum} FROM
+        (SELECT list_transform(w, x -> lower(x)) AS wl)) AS stop_hits,
+      CAST(len(list_filter(w, x -> contains(x, '#')
+        OR contains(x, '...') OR contains(x, '…'))) AS BIGINT)
+        AS symbol_words,
+      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(string_split(text, chr(10)), l ->
+        substring(ltrim(l), 1, 1) = '-' OR substring(ltrim(l), 1, 1) = '*'
+        OR substring(ltrim(l), 1, 1) = '•')) AS BIGINT) AS bullet_lines,
+      CAST(len(list_filter(string_split(text, chr(10)), l ->
+        right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…'))
+        AS BIGINT) AS ellipsis_lines
+    FROM b
+  )
+),
+g AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+      ELSE [] END AS bg,
+    CAST(len(w) AS BIGINT) AS wc
+  FROM b
+),
+rep AS (
+  SELECT doc_id,
+    ((twc <= 1 OR (CASE WHEN wc > 0 THEN (1000 * twc) // wc ELSE 0 END)
+        <= 150)
+     AND (tbc <= 1 OR (CASE WHEN wc > 1 THEN (1000 * tbc) // (wc - 1)
+        ELSE 0 END) <= 60)) AS rep_ok
+  FROM (
+    SELECT doc_id, wc,
+      coalesce(list_max(list_transform(w, x ->
+        CAST(len(list_filter(w, y -> y = x)) AS BIGINT))), 0) AS twc,
+      coalesce(list_max(list_transform(bg, x ->
+        CAST(len(list_filter(bg, y -> y = x)) AS BIGINT))), 0) AS tbc
+    FROM g
+  )
+),
+dd AS (
+  SELECT doc_id,
+    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS dd_ok
+  FROM b
+),
+j AS (
+  SELECT b.doc_id, c4_ok, gq_ok, rep_ok, dd_ok
+  FROM b JOIN c4 USING (doc_id) JOIN gq USING (doc_id)
+  JOIN rep USING (doc_id) JOIN dd USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+    CAST(coalesce(sum(CASE WHEN c4_ok THEN 1 END), 0) AS BIGINT) AS s1,
+    CAST(coalesce(sum(CASE WHEN c4_ok AND gq_ok THEN 1 END), 0)
+      AS BIGINT) AS s2,
+    CAST(coalesce(sum(CASE WHEN c4_ok AND gq_ok AND rep_ok THEN 1 END),
+      0) AS BIGINT) AS s3,
+    CAST(coalesce(sum(CASE WHEN c4_ok AND gq_ok AND rep_ok AND dd_ok
+      THEN 1 END), 0) AS BIGINT) AS s4
+  FROM j
+)
+{stages}
+"""
+
+
+SAMPLE_QUOTA = 20
+PACK_BUDGET = 256
+
+
+def q71_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the training-mix draw:
+    per language stratum, the SAMPLE_QUOTA docs with the smallest
+    md5('mix-v1:' || doc_id) (doc_id tiebreak). A keyed uniform hash
+    makes the draw reproducible across engines and redraws under a
+    salt change — the ablation workflow's contract. Plan: one
+    window rank per stratum; the 10^12-doc path preselects with the
+    IVF sampler's hash-threshold predicate (similarity.py:297-331)
+    so the sort input is ~quota-sized, then ranks exactly."""
+    from .text.mixing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("lang", "doc_id"), quota=SAMPLE_QUOTA
+    )
+
+
+def _q71_oracle() -> str:
+    return f"""
+WITH r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5('mix-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+               doc_id ASC) AS rnk
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= {SAMPLE_QUOTA}
+"""
+
+
+def q72_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the GPT-pretraining layout:
+    concatenate documents per stream, cut every PACK_BUDGET tokens):
+    per language stream in doc_id order, emit each document's token
+    count, running tape offset, and the first/last context window it
+    lands in — exact integers (one running-sum window + two floor
+    divisions). The window definition is inherently sequential per
+    stream; production packs per (stratum, shard) so each shard's
+    offsets are a narrow partition-local window, never a global
+    sort (documented in text/mixing.py)."""
+    from .text.mixing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs.select("lang", "doc_id", "text"), budget=PACK_BUDGET
+    )
+
+
+def _q72_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, doc_id,
+    CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+      '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+  FROM t WHERE n_tokens > 0
+)
+SELECT lang, doc_id, n_tokens, tok_end,
+  CAST((tok_end - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_start,
+  CAST((tok_end - 1) // {PACK_BUDGET} AS BIGINT) AS bin_end
+FROM s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -2889,6 +3170,9 @@ QUERIES = {
     "q67_bm25_topk": q67_bm25_topk,
     "q68_inverted_index_stats": q68_inverted_index_stats,
     "q69_html_metadata": q69_html_metadata,
+    "q70_quality_funnel": q70_quality_funnel,
+    "q71_stratified_sample": q71_stratified_sample,
+    "q72_sequence_packing": q72_sequence_packing,
 }
 
 ORACLES = {
@@ -2958,6 +3242,9 @@ ORACLES = {
     "q67_bm25_topk": _q67_oracle(),
     "q68_inverted_index_stats": _q68_oracle(),
     "q69_html_metadata": _q69_oracle(),
+    "q70_quality_funnel": _q70_oracle(),
+    "q71_stratified_sample": _q71_oracle(),
+    "q72_sequence_packing": _q72_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

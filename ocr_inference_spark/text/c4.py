@@ -40,7 +40,7 @@ POLICY_PHRASES = ("cookie", "terms of use", "privacy policy")
 MAX_BODY_LINES = 8
 
 
-def synth_c4_pages(docs_df: DataFrame) -> DataFrame:
+def synth_c4_pages(docs_df: DataFrame, keep_text: bool = False) -> DataFrame:
     """Deterministic raw web page per documents row: body lines are
     5-word windows of the document text (every (doc_id+i)%3==0 line
     loses its last word so the >=5-words rule has both outcomes, and
@@ -70,9 +70,10 @@ def synth_c4_pages(docs_df: DataFrame) -> DataFrame:
         " CASE WHEN doc_id % 13 = 5 THEN array('function parse() {')"
         " ELSE array() END)"
     )
+    carried = ["doc_id"] + (["text"] if keep_text else [])
     return (
         docs_df.select(
-            "doc_id",
+            *carried,
             F.expr(
                 "filter(split(coalesce(text, ''), '\\\\s+'), w -> w != '')"
             ).alias("w_"),
@@ -82,7 +83,7 @@ def synth_c4_pages(docs_df: DataFrame) -> DataFrame:
             F.expr(f"least(size(w_) div 5, {MAX_BODY_LINES})"),
         )
         .select(
-            "doc_id",
+            *carried,
             F.expr(f"array_join(concat({body}, {extras}), '\\n')").alias(
                 "page"
             ),
