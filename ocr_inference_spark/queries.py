@@ -3100,6 +3100,121 @@ FROM s
 """
 
 
+def q73_decontamination(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C rule: flag
+    training documents sharing a 13-gram with an eval item). The
+    deterministic eval set is leaked FROM the corpus — tokens
+    [5, 25) of every doc_id %% 31 == 4 document — so every flagged
+    (doc_id, eval_id, shared_ngrams) row is derivable relationally
+    and the shingle windowing, hashing, and join all sit under the
+    hash gate. Plan: corpus shingles explode map-side to 16-byte
+    hashes, the eval shingle relation broadcasts (eval sets are tiny
+    by definition), and the only shuffle carries (doc_id, eval_id)
+    pairs into a count — MinHash-LSH's banded-join discipline
+    (dedup.py) applied to contamination."""
+    from .text.decontam import contamination_scan, synth_eval_set
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_scan(docs, synth_eval_set(docs))
+
+
+def _q73_oracle() -> str:
+    from .text.decontam import EVAL_LEN, NGRAM_N
+
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+      '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+),
+ev AS (
+  SELECT doc_id AS eval_id, list_slice(w, 6, 5 + {EVAL_LEN}) AS ew
+  FROM b WHERE doc_id % 31 = 4 AND len(w) >= 5 + {EVAL_LEN}
+),
+eg AS (
+  SELECT DISTINCT eval_id,
+    unnest(list_transform(range(0, len(ew) - {NGRAM_N} + 1), i ->
+      md5(array_to_string(list_slice(ew, i + 1, i + {NGRAM_N}), ' '))))
+      AS g
+  FROM ev
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(w) >= {NGRAM_N}
+      THEN list_transform(range(0, len(w) - {NGRAM_N} + 1), i ->
+        md5(array_to_string(list_slice(w, i + 1, i + {NGRAM_N}), ' ')))
+      ELSE [] END) AS g
+  FROM b
+)
+SELECT cg.doc_id, eg.eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM cg JOIN eg USING (g)
+GROUP BY cg.doc_id, eg.eval_id
+"""
+
+
+def q74_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity quality split (Wenzek et al. 2020
+    §4.3): score every document under an add-one unigram LM trained
+    on the doc_id %% 10 == 0 reference slice, then cut head/middle/
+    tail tertiles by per-token NLL (head = most reference-like).
+    Integer-exact: per-token NLL floored at x1e6 from the double ln
+    (engine-pair agreement probed — see text/retrieval.py), so doc
+    sums are order-free ints and the tertile is an ntile over a
+    total order. Plan: vocab-sized LM broadcast, explode + broadcast
+    join + one narrow int shuffle; the tertile sort degrades to
+    broadcast quantile thresholds at 10^12 docs (documented in
+    text/decontam.py)."""
+    from .text.decontam import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return perplexity_buckets(docs)
+
+
+def _q74_oracle() -> str:
+    from .text.decontam import NLL_SCALE
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+      '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE doc_id % 10 = 0 GROUP BY term
+),
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS vocab FROM counts
+),
+lm AS (
+  SELECT term,
+    CAST(floor({NLL_SCALE} * ln((1.0 * total + vocab) / (cnt + 1)))
+      AS BIGINT) AS nll_micro
+  FROM counts CROSS JOIN stats
+),
+scored AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(coalesce(lm.nll_micro,
+      (SELECT CAST(floor({NLL_SCALE} * ln(1.0 * total + vocab))
+        AS BIGINT) FROM stats))) AS BIGINT) AS nll_sum
+  FROM toks t LEFT JOIN lm USING (term)
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens, nll_sum // n_tokens AS nll_micro_per_tok
+  FROM scored
+)
+SELECT doc_id, n_tokens, nll_micro_per_tok,
+  CASE ntile(3) OVER (ORDER BY nll_micro_per_tok ASC, doc_id ASC)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -3173,6 +3288,8 @@ QUERIES = {
     "q70_quality_funnel": q70_quality_funnel,
     "q71_stratified_sample": q71_stratified_sample,
     "q72_sequence_packing": q72_sequence_packing,
+    "q73_decontamination": q73_decontamination,
+    "q74_perplexity_buckets": q74_perplexity_buckets,
 }
 
 ORACLES = {
@@ -3245,6 +3362,8 @@ ORACLES = {
     "q70_quality_funnel": _q70_oracle(),
     "q71_stratified_sample": _q71_oracle(),
     "q72_sequence_packing": _q72_oracle(),
+    "q73_decontamination": _q73_oracle(),
+    "q74_perplexity_buckets": _q74_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
