@@ -3215,6 +3215,80 @@ FROM ranked
 """
 
 
+BPE_TOPK = 50
+
+
+def q75_bpe_pair_stats(spark, sf_dir):
+    """Tokenizer-training statistics — the counting step of BPE
+    (Sennrich et al. 2016): build the word-frequency vocabulary, then
+    count adjacent character pairs weighted by word frequency; the
+    argmax pair is the next merge. Emits the top-BPE_TOPK merge
+    candidates (left, right, pair_count) with a deterministic
+    (count desc, left, right) cut. Plan: two hash-aggs over integer/
+    short-string rows (word counts, then pair counts — both partial-
+    agg friendly) and a TakeOrderedAndProject; per-word pair
+    expansion is a higher-order transform, zero Python. The repeated-
+    pair subtlety (a word contributes freq x occurrences for a pair
+    appearing twice in it, e.g. 'aaa' -> ('a','a') x2) matches the
+    published algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "filter(split(lower(coalesce(text, '')),"
+                    " '[^a-z0-9]+'), t -> t != '')"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> struct(substring(word, i, 1) AS l,"
+                    " substring(word, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    return pairs.orderBy(
+        F.desc("pair_count"), F.asc("left"), F.asc("right")
+    ).limit(BPE_TOPK)
+
+
+def _q75_oracle() -> str:
+    return f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(
+      lower(coalesce(text, '')), '[^a-z0-9]+'), t -> t <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+pairs AS (
+  SELECT substring(word, i, 1) AS "left",
+    substring(word, i + 1, 1) AS "right",
+    CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM words CROSS JOIN LATERAL (
+    SELECT unnest(range(1, strlen(word))) AS i
+  ) g
+  WHERE strlen(word) >= 2
+  GROUP BY 1, 2
+)
+SELECT "left", "right", pair_count FROM pairs
+ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT {BPE_TOPK}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -3290,6 +3364,7 @@ QUERIES = {
     "q72_sequence_packing": q72_sequence_packing,
     "q73_decontamination": q73_decontamination,
     "q74_perplexity_buckets": q74_perplexity_buckets,
+    "q75_bpe_pair_stats": q75_bpe_pair_stats,
 }
 
 ORACLES = {
@@ -3364,6 +3439,7 @@ ORACLES = {
     "q72_sequence_packing": _q72_oracle(),
     "q73_decontamination": _q73_oracle(),
     "q74_perplexity_buckets": _q74_oracle(),
+    "q75_bpe_pair_stats": _q75_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

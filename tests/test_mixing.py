@@ -114,3 +114,25 @@ def test_quality_funnel_is_monotone_and_consistent(spark, tmp_path):
     assert counts[0] == 500
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[-1] > 0
+
+
+def test_bpe_pair_counting_semantics(spark, monkeypatch, tmp_path):
+    """BPE pair counts: repeated pairs inside one word count per
+    occurrence, weighted by word frequency (the published algorithm's
+    counting rule)."""
+    import ocr_inference_spark.queries as Q
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="aaa aaa ab"), Row(doc_id=1, text="aaa Ab!")]
+    )
+    real_t = Q._t
+    monkeypatch.setattr(
+        Q, "_t", lambda spark, sf, name: docs if name == "documents"
+        else real_t(spark, sf, name)
+    )
+    got = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in Q.q75_bpe_pair_stats(spark, "unused").collect()
+    }
+    # 'aaa' freq 3 -> ('a','a') twice per word = 6; 'ab' freq 2 -> 2
+    assert got == {("a", "a"): 6, ("a", "b"): 2}
