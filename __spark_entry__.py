@@ -19,8 +19,9 @@ snapshot-diff change detection, Gopher-rule quality gating,
 WET text-export with byte-exact round-trip, host-politeness
 fetch scheduling, exact-substring duplication detection,
 Gopher repetition rules,
-composite training-set selection, a
-Structured-Streaming rollup) — 75 queries, 72 with DuckDB oracles (the remaining 3 are
+composite training-set selection, DSIR
+hashed-ngram importance-weight selection, a
+Structured-Streaming rollup) — 76 queries, 73 with DuckDB oracles (the remaining 3 are
 approximate-by-design ANN/LSH paths, recall pinned by pytest); see
 ocr_inference_spark/queries.py for the implementations and
 the column-aliasing / decimal-sum conventions that keep the Spark and

@@ -3289,6 +3289,77 @@ ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT {BPE_TOPK}
 """
 
 
+DSIR_TOPK = 100
+
+
+def q76_dsir_selection(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): score every document by
+    the hashed-ngram importance weight ln p(x) - ln q(x), where p is
+    a bag-of-hashed-unigram+bigram model over the deterministic
+    in-corpus target slice (doc_id %% 7 == 3) and q the same model
+    over the raw corpus; emit the top-DSIR_TOPK docs (weight desc,
+    doc_id tiebreak). Integer-exact via the floor-of-ln micro-unit
+    discipline (q67/q74), so the full estimator — feature hashing,
+    add-one smoothing, log-ratio sum, top-k cut — sits under the
+    value-hash gate. Plan: map-only feature explode, a B-bounded
+    (B=1024) model shuffle, broadcast score-back, one narrow
+    (doc_id, int) agg, TakeOrderedAndProject."""
+    from .text.mixing import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_select(docs, top_k=DSIR_TOPK)
+
+
+def _q76_oracle() -> str:
+    from .text.mixing import DSIR_BUCKETS, DSIR_SCALE
+
+    B, S = DSIR_BUCKETS, DSIR_SCALE
+    return f"""
+WITH b0 AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+      '[^a-z0-9]+'), t -> t <> '') AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % {B} AS b
+  FROM (
+    SELECT doc_id, unnest(list_concat(w,
+      list_transform(range(1, greatest(len(w), 1)),
+        i -> w[i] || ' ' || w[i + 1]))) AS g
+    FROM b0
+  )
+),
+counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS q_cnt,
+    CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      AS p_cnt
+  FROM f GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(q_cnt) AS BIGINT) AS q_tot,
+         CAST(sum(p_cnt) AS BIGINT) AS p_tot
+  FROM counts
+),
+lm AS (
+  SELECT b,
+    CAST(floor({S} * ln(CAST(p_cnt + 1 AS DOUBLE)
+      / CAST(p_tot + {B} AS DOUBLE))) AS BIGINT)
+    - CAST(floor({S} * ln(CAST(q_cnt + 1 AS DOUBLE)
+      / CAST(q_tot + {B} AS DOUBLE))) AS BIGINT) AS w_micro
+  FROM counts CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(lm.w_micro) AS BIGINT) AS weight_micro
+  FROM f JOIN lm USING (b) GROUP BY f.doc_id
+)
+SELECT doc_id, n_features, weight_micro FROM scored
+ORDER BY weight_micro DESC, doc_id ASC LIMIT {DSIR_TOPK}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -3365,6 +3436,7 @@ QUERIES = {
     "q73_decontamination": q73_decontamination,
     "q74_perplexity_buckets": q74_perplexity_buckets,
     "q75_bpe_pair_stats": q75_bpe_pair_stats,
+    "q76_dsir_selection": q76_dsir_selection,
 }
 
 ORACLES = {
@@ -3440,6 +3512,7 @@ ORACLES = {
     "q73_decontamination": _q73_oracle(),
     "q74_perplexity_buckets": _q74_oracle(),
     "q75_bpe_pair_stats": _q75_oracle(),
+    "q76_dsir_selection": _q76_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }

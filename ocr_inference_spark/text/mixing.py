@@ -93,3 +93,129 @@ def pack_sequences(
         F.expr(f"(tok_end - n_tokens) div {budget}").alias("bin_start"),
         F.expr(f"(tok_end - 1) div {budget}").alias("bin_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection by importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# feature dimension of the hashed n-gram bag (the paper uses 10k; a
+# smaller power of two keeps the sf0.001 test corpus from being
+# all-singleton buckets while the plan shape is identical)
+DSIR_BUCKETS = 1024
+# fixed-point scale for floor(ln(.)) micro-units (same discipline as
+# decontam.NLL_SCALE / retrieval's BM25 idf: flooring each ln to an
+# integer makes every per-feature contribution an int and the per-doc
+# sum order-free, so the result sits under the value-hash gate)
+DSIR_SCALE = 1_000_000
+
+
+def dsir_weights(
+    docs_df: DataFrame,
+    target_mod: int = 7,
+    target_at: int = 3,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR,
+    Xie et al. 2023): fit two bag-of-hashed-ngram unigram models —
+    p over a deterministic in-corpus "target domain" slice
+    (doc_id % target_mod == target_at), q over the full raw corpus —
+    and score every document by the log importance weight
+    sum_f [ln p(b(f)) - ln q(b(f))] over its unigram+bigram features,
+    each token/bigram hashed into ``buckets`` buckets by
+    md5-prefix % buckets (an engine-portable stand-in for the
+    paper's feature hash).  Add-one smoothing over the bucket space.
+
+    Integer-exact: per-bucket contribution is
+    floor(1e6*ln((p_cnt+1)/(p_tot+B))) - floor(1e6*ln((q_cnt+1)/(q_tot+B))),
+    a constant int per occurrence, so document scores are order-free
+    BIGINT sums (the q67/q74 floor-of-ln discipline; engine-pair ln
+    agreement probed in text/retrieval.py).
+
+    Returns (doc_id, n_features, weight_micro); docs with zero
+    alphanumeric tokens have no features and drop out, mirroring the
+    paper's practice of excluding empty documents from resampling.
+
+    Scale posture: feature extraction is a map-only explode; the
+    model shuffle carries at most ``buckets`` (b, int, int) rows;
+    the bucket->weight relation (~buckets rows) broadcasts back onto
+    the feature stream; the only wide shuffle is the per-doc int sum.
+    Nothing in the plan is corpus-cardinality-shaped except that
+    narrow (doc_id, int) aggregate — 10^12-doc safe.
+
+    Reference anchor: the selection objective is the published DSIR
+    estimator; the reference repo has no analogue (it is an OCR
+    engine), this is part of the training-data layer the brief adds.
+    """
+    from .decontam import _tok_expr
+
+    bigrams = (
+        "zip_with(slice(w_, 1, greatest(size(w_) - 1, 0)),"
+        " slice(w_, 2, greatest(size(w_) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    bucket_of = (
+        f"f -> cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint)"
+        f" % {buckets}"
+    )
+    feats = docs_df.select(
+        "doc_id", F.expr(_tok_expr("text")).alias("w_")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(concat(w_, {bigrams}), {bucket_of})")
+        ).alias("b"),
+    )
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("q_cnt"),
+        F.sum(
+            F.when(
+                F.col("doc_id") % target_mod == target_at, 1
+            ).otherwise(0)
+        ).alias("p_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("q_cnt").alias("q_tot"), F.sum("p_cnt").alias("p_tot")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            # pure double division on both engines (no decimal
+            # intermediate), so the floor-ln boundary behavior is
+            # identical by construction
+            f"cast(floor({DSIR_SCALE} * ln(cast(p_cnt + 1 as double)"
+            f" / cast(p_tot + {buckets} as double))) as bigint)"
+            f" - cast(floor({DSIR_SCALE} * ln(cast(q_cnt + 1 as double)"
+            f" / cast(q_tot + {buckets} as double))) as bigint)"
+        ).alias("w_micro"),
+    )
+    return (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("w_micro").alias("weight_micro"),
+        )
+    )
+
+
+def dsir_select(
+    docs_df: DataFrame,
+    top_k: int,
+    target_mod: int = 7,
+    target_at: int = 3,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Top-``top_k`` documents by DSIR importance weight (weight
+    desc, doc_id asc tiebreak — a total order, so the selected SET is
+    deterministic and hash-gateable).  The paper resamples from the
+    weight distribution; the deterministic top-k is the reproducible
+    variant a production mix draw wants (q71's salt-redraw pattern
+    covers the stochastic ablation axis).  The cut itself is a
+    TakeOrderedAndProject — top-k over (doc_id, int) rows, never a
+    full sort materialization."""
+    return (
+        dsir_weights(docs_df, target_mod, target_at, buckets)
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(top_k)
+    )

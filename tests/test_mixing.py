@@ -136,3 +136,91 @@ def test_bpe_pair_counting_semantics(spark, monkeypatch, tmp_path):
     }
     # 'aaa' freq 3 -> ('a','a') twice per word = 6; 'ab' freq 2 -> 2
     assert got == {("a", "a"): 6, ("a", "b"): 2}
+
+
+def _dsir_python_reference(docs, target_mod=7, target_at=3, buckets=1024):
+    """Independent pure-Python DSIR: hashed unigram+bigram features,
+    add-one smoothed p (target slice) / q (raw) bucket models,
+    floor-of-ln micro-unit weights."""
+    import math
+
+    def toks(text):
+        import re
+
+        return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % buckets
+
+    feats = {}
+    for doc_id, text in docs:
+        w = toks(text)
+        fs = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        feats[doc_id] = [bucket(f) for f in fs]
+    q_cnt: dict[int, int] = {}
+    p_cnt: dict[int, int] = {}
+    for doc_id, bs in feats.items():
+        for b in bs:
+            q_cnt[b] = q_cnt.get(b, 0) + 1
+            if doc_id % target_mod == target_at:
+                p_cnt[b] = p_cnt.get(b, 0) + 1
+    q_tot = sum(q_cnt.values())
+    p_tot = sum(p_cnt.values())
+    w_micro = {
+        b: math.floor(1e6 * math.log((p_cnt.get(b, 0) + 1.0) / (p_tot + buckets)))
+        - math.floor(1e6 * math.log((q_cnt[b] + 1.0) / (q_tot + buckets)))
+        for b in q_cnt
+    }
+    out = {}
+    for doc_id, bs in feats.items():
+        if bs:
+            out[doc_id] = (len(bs), sum(w_micro[b] for b in bs))
+    return out
+
+
+def test_dsir_weights_match_python(spark):
+    from ocr_inference_spark.text.mixing import dsir_weights
+
+    df = _docs(spark)
+    got = {
+        r["doc_id"]: (r["n_features"], r["weight_micro"])
+        for r in dsir_weights(df.select("doc_id", "text")).collect()
+    }
+    docs = [(r["doc_id"], r["text"]) for r in df.collect()]
+    want = _dsir_python_reference(docs)
+    assert got == want
+    assert 60 not in got  # the token-free doc has no features
+
+
+def test_dsir_target_slice_scores_highest(spark):
+    """Docs sharing the target slice's vocabulary must outrank docs
+    with disjoint vocabulary: plant a distinctive phrase on the
+    target slice plus one non-target doc, gibberish elsewhere."""
+    from ocr_inference_spark.text.mixing import dsir_select
+
+    rows = []
+    for i in range(40):
+        if i % 7 == 3 or i == 5:
+            text = "quick brown fox jumps over the lazy dog " * 3
+        else:
+            text = " ".join(f"junk{i}x{j}" for j in range(24))
+        rows.append(Row(doc_id=i, text=text))
+    df = spark.createDataFrame(rows)
+    want_high = {i for i in range(40) if i % 7 == 3 or i == 5}  # 7 docs
+    top = [
+        r["doc_id"]
+        for r in dsir_select(df, top_k=len(want_high)).collect()
+    ]
+    assert set(top) == want_high
+    assert 5 in top  # the non-target look-alike is selected
+
+
+def test_dsir_topk_tiebreak_deterministic(spark):
+    """Identical docs have identical weights; the k-cut must take the
+    smallest doc_ids."""
+    from ocr_inference_spark.text.mixing import dsir_select
+
+    rows = [Row(doc_id=i, text="same text for every doc") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    got = [r["doc_id"] for r in dsir_select(df, top_k=4).collect()]
+    assert got == [0, 1, 2, 3]
