@@ -3360,6 +3360,65 @@ ORDER BY weight_micro DESC, doc_id ASC LIMIT {DSIR_TOPK}
 """
 
 
+def q77_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (the Dolma/FineWeb anonymization
+    pass): count email / phone / IPv4 detector hits per page and
+    redact them in a fixed order with |||CLASS||| tokens, reporting
+    the scrubbed-page md5. Pages are the documents text with PII
+    planted by doc_id arithmetic (the q65/q69 corpus-augmentation
+    pattern), so detector hits AND the redacted digest are fully
+    SQL-derivable; the regexes are restricted to Java-regex/RE2
+    common syntax so both engines run byte-identical patterns.
+    Map-only, zero-exchange, whole-stage-codegen regex scan."""
+    from .text.pii import pii_scrub, synth_pii_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_scrub(synth_pii_pages(docs))
+
+
+def _q77_oracle() -> str:
+    from .text.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_RE,
+        IP_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+WITH p AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+      || CAST(doc_id AS VARCHAR) || '@mail'
+      || CAST(doc_id % 5 AS VARCHAR) || '.example.com today.'
+      ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN ' escalate to admin'
+      || CAST(doc_id AS VARCHAR) || '@corp.example.org please.'
+      ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN ' call +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+      ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN ' server 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+      || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged.'
+      ELSE '' END AS page
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(page, '{EMAIL_RE}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(page, '{PHONE_RE}')) AS BIGINT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(page, '{IP_RE}')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(page,
+    '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+    '{PHONE_RE}', '{PHONE_TOKEN}', 'g'),
+    '{IP_RE}', '{IP_TOKEN}', 'g')) AS clean_md5
+FROM p
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -3437,6 +3496,7 @@ QUERIES = {
     "q74_perplexity_buckets": q74_perplexity_buckets,
     "q75_bpe_pair_stats": q75_bpe_pair_stats,
     "q76_dsir_selection": q76_dsir_selection,
+    "q77_pii_scrub": q77_pii_scrub,
 }
 
 ORACLES = {
@@ -3513,6 +3573,7 @@ ORACLES = {
     "q74_perplexity_buckets": _q74_oracle(),
     "q75_bpe_pair_stats": _q75_oracle(),
     "q76_dsir_selection": _q76_oracle(),
+    "q77_pii_scrub": _q77_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
