@@ -66,6 +66,12 @@ HEADLINE = [
     # corpus, not a fixed gate slice
     "q65_c4_line_filter",
     "q67_bm25_topk",
+    # last round-5 wave: DSIR importance-weight selection (feature
+    # explode + B-bounded model shuffle + broadcast score-back) and
+    # the PII scrub (zero-exchange whole-table regex scan) — both
+    # scale with the corpus
+    "q76_dsir_selection",
+    "q77_pii_scrub",
 ]
 
 
