@@ -21,8 +21,9 @@ fetch scheduling, exact-substring duplication detection,
 Gopher repetition rules,
 composite training-set selection, DSIR
 hashed-ngram importance-weight selection, PII
-detection/redaction with hash-gated scrubbed digests, a
-Structured-Streaming rollup) — 77 queries, 74 with DuckDB oracles (the remaining 3 are
+detection/redaction with hash-gated scrubbed digests, SemDeDup
+cluster-then-prune semantic dedup, a
+Structured-Streaming rollup) — 78 queries, 75 with DuckDB oracles (the remaining 3 are
 approximate-by-design ANN/LSH paths, recall pinned by pytest); see
 ocr_inference_spark/queries.py for the implementations and
 the column-aliasing / decimal-sum conventions that keep the Spark and

@@ -645,3 +645,123 @@ def simhash_md5_pairs_exact(
             hamming.cast("int").alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_SCALE = 1_000_000
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.4,
+    salt: str = "semdedup-v1",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then mark as
+    semantic duplicates the rows whose within-cluster cosine to a
+    lower-id row meets ``threshold`` (min-id survivor — the paper
+    keeps one exemplar per similar group; the deterministic keep rule
+    makes the output set hash-gateable).  Returns
+    (vec_id, cluster_id, dup_of) for EVERY input row; dup_of is NULL
+    for keepers.
+
+    Clustering is the paper's trick for never forming the O(n²) pair
+    matrix: pairs are only compared within a cluster, so the
+    self-join is equi-keyed on cluster_id and the pair count is
+    sum_c n_c², not n².  Here the centroids are the k corpus vectors
+    with the smallest md5(salt || ':' || id) — a deterministic
+    k-means++-style seed draw both engines compute identically
+    (production would Lloyd-iterate from these seeds; the assignment
+    plan below is exactly one Lloyd E-step and is what repeats per
+    iteration).  Assignment distance is EXACT integer L2 over
+    x1e6-floored components (order-free BIGINT sums — no float
+    argmin boundary between engines); the prune cosine is the
+    round(.,6) double the q35 oracle already proved engine-identical.
+    threshold defaults low to exercise the prune on the synthetic
+    corpus; production SemDeDup uses ~0.95.
+
+    Scale posture: centroids are k rows -> broadcast; assignment is a
+    map-side broadcast nest over k (one E-step per row, zero
+    shuffle); the pair join shuffles on cluster_id — at 10^12 rows k
+    scales to ~sqrt(n) clusters (the paper uses 50k) so clusters stay
+    executor-sized, and a mega-cluster is handled by the same salting
+    the doc_id pipeline uses.
+    """
+    from .similarity import _dot, _norm
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    vint = base.withColumn(
+        "v",
+        F.expr(
+            f"transform(e, x -> cast(floor(x * {SEMDEDUP_SCALE}) as bigint))"
+        ),
+    )
+    key = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col("vec_id").cast("string"))
+    )
+    cents = (
+        vint.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            key.alias("k_"),
+        )
+        .orderBy("k_", "cid")
+        .limit(k)
+        .drop("k_")
+    )
+    assigned = (
+        vint.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster_id"))
+    )
+    clustered = assigned.join(base, "vec_id").withColumn(
+        "nrm", _norm(F.col("e"))
+    )
+    lhs = clustered.where(F.col("nrm") > 0).select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    rhs = clustered.where(F.col("nrm") > 0).select(
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dups = (
+        lhs.join(rhs, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(
+            dups, assigned.vec_id == dups.id_b, "left"
+        ).select("vec_id", "cluster_id", "dup_of")
+    )

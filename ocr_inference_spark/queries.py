@@ -3419,6 +3419,79 @@ FROM p
 """
 
 
+SEMDEDUP_K = 16
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q78_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): cluster the
+    embedding corpus (deterministic md5-seeded centroids, one exact
+    integer-L2 Lloyd E-step) and mark within-cluster rows whose
+    cosine to a lower-id row >= threshold as duplicates (min-id
+    survivor). Every row reports (vec_id, cluster_id, dup_of) —
+    dup_of NULL for keepers — so seed draw, assignment argmin, and
+    the prune all sit under the hash gate. Plan: k-row centroid
+    broadcast E-step (zero shuffle), pair join equi-keyed on
+    cluster_id (sum n_c² not n²), one (id_b, min) agg."""
+    from .dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, k=SEMDEDUP_K, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
+def _q78_oracle() -> str:
+    from .dedup import SEMDEDUP_SCALE
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+vint AS (
+  SELECT vec_id, e,
+    list_transform(e, x -> CAST(floor(x * {SEMDEDUP_SCALE}) AS BIGINT))
+      AS v
+  FROM base
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM vint
+  ORDER BY md5('semdedup-v1:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {SEMDEDUP_K}
+),
+dists AS (
+  SELECT vint.vec_id, cents.cid,
+    list_sum(list_transform(range(1, len(vint.v) + 1),
+      i -> (vint.v[i] - cents.cv[i]) * (vint.v[i] - cents.cv[i])))
+      AS dist
+  FROM vint CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT assign.vec_id, assign.cluster_id, base.e,
+    sqrt(list_dot_product(base.e, base.e)) AS nrm
+  FROM assign JOIN base USING (vec_id)
+),
+dups AS (
+  SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+  FROM c a JOIN c b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+      >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT assign.vec_id, assign.cluster_id, dups.dup_of
+FROM assign LEFT JOIN dups ON assign.vec_id = dups.id_b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -3497,6 +3570,7 @@ QUERIES = {
     "q75_bpe_pair_stats": q75_bpe_pair_stats,
     "q76_dsir_selection": q76_dsir_selection,
     "q77_pii_scrub": q77_pii_scrub,
+    "q78_semdedup": q78_semdedup,
 }
 
 ORACLES = {
@@ -3574,6 +3648,7 @@ ORACLES = {
     "q75_bpe_pair_stats": _q75_oracle(),
     "q76_dsir_selection": _q76_oracle(),
     "q77_pii_scrub": _q77_oracle(),
+    "q78_semdedup": _q78_oracle(),
     # q28/q36/q40: intentionally no oracle (approximate-by-design
     # ANN/LSH paths) — rows-only checks, recall pinned by pytest.
 }
