@@ -272,12 +272,34 @@ def embedding_near_dup(
         # DISTINCT pair for the verify. (Carrying the vectors through
         # the self-join + dropDuplicates multiplies shuffle volume by
         # the vector width — at 10^12 rows that is the whole job.)
-        blocked = base.select(
-            "id",
-            F.posexplode(table_buckets(F.col("v"), n_tables, n_planes, dim)).alias(
-                "t", "bucket"
-            ),
-        ).localCheckpoint(eager=True)
+        #
+        # Round-6 parallelism discipline (guide §2.5 input skew + §2.2):
+        #   1. the n_tables*n_planes plane-dot projection is the heavy
+        #      map work; a small single-row-group input planes into ONE
+        #      scan task, so spread it across the cluster first when the
+        #      scan is under-parallel (no-op at real scale);
+        #   2. the self-join output is |bucket|^2-shaped — orders of
+        #      magnitude wider than its input bytes — so the join must
+        #      NOT run at AQE-coalesced width (AQE sizes partitions by
+        #      the tiny shuffle input bytes, not the pair-explosion
+        #      cost). An explicit repartition by the join key before the
+        #      checkpoint pins the width AND lets BOTH self-join sides
+        #      reuse the same hash partitioning: zero further exchange.
+        spark = df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        pre = base
+        if pre.rdd.getNumPartitions() < par:
+            pre = pre.repartition(par)
+        blocked = (
+            pre.select(
+                "id",
+                F.posexplode(
+                    table_buckets(F.col("v"), n_tables, n_planes, dim)
+                ).alias("t", "bucket"),
+            )
+            .repartition(par * 4, "t", "bucket")
+            .localCheckpoint(eager=True)
+        )
         # ^ materialized once: the a/b self-join below would otherwise
         # re-scan the corpus and re-evaluate every plane dot twice —
         # at 10^12 rows that is two extra full passes for rows that are
@@ -291,14 +313,14 @@ def embedding_near_dup(
             .dropDuplicates(["id_a", "id_b"])
         )
         pairs = cand.join(
-            base.select(
+            pre.select(
                 F.col("id").alias("id_a"),
                 F.col("v").alias("va"),
                 F.col("nrm").alias("na"),
             ),
             "id_a",
         ).join(
-            base.select(
+            pre.select(
                 F.col("id").alias("id_b"),
                 F.col("v").alias("vb"),
                 F.col("nrm").alias("nb"),

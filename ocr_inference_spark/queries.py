@@ -39,6 +39,54 @@ def _parquet_row_count(sf_dir: str, name: str) -> int:
     return ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
 
 
+def _scan_tasks(sf_dir: str, name: str, parallelism: int) -> int:
+    """Effective scan-task count Spark will give this parquet file, from
+    footer metadata only: splits are min(maxPartitionBytes,
+    max(openCostInBytes, bytes/defaultParallelism)) wide
+    (FilePartition.maxSplitBytes), and a split only yields rows for the
+    row groups whose midpoint falls inside it — so a single-row-group
+    file is ONE task no matter how it is split."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    size = _os.path.getsize(path)
+    split = min(128 << 20, max(4 << 20, size // max(parallelism, 1)))
+    n_splits = max(1, -(-size // split))
+    n_rowgroups = _pq.ParquetFile(path).metadata.num_row_groups
+    return min(n_splits, n_rowgroups)
+
+
+def _spread(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scale-adaptive scan-parallelism guard for COMPUTE-DENSE per-row
+    paths (regex / md5 / higher-order-function projections), guide §2.5
+    "input skew" + §2 scale-adaptive partitioning.
+
+    A small parquet table written as one row group planes into ONE scan
+    task, so a downstream expression costing ~ms/row runs on one core
+    while the rest of the cluster idles (measured: the q76 feature
+    explode and q36 bucket projection ran 1-2 of 32 cores at sf1.0).
+    When footer metadata says the scan will produce fewer tasks than the
+    session has cores, round-robin the (by construction tiny) input
+    across the cores first; at real scale the input splits into far more
+    tasks than cores and this is a no-op — no exchange is added.
+
+    Only worth it when per-row compute dwarfs the repartition cost of a
+    few MB; plain column scans and aggregations-over-bytes paths (e.g.
+    lineitem) are NOT spread — measured slower (exp: 0.96s stock vs
+    1.43s repartitioned for the q01 aggregate shape).
+    """
+    par = spark.sparkContext.defaultParallelism
+    try:
+        tasks = _scan_tasks(sf_dir, name, par)
+    except OSError:
+        return df
+    if tasks >= par:
+        return df
+    return df.repartition(par)
+
+
 def _money(col):
     return F.col(col).cast(DEC)
 
@@ -406,7 +454,7 @@ GROUP BY p_brand
 
 def q16_word_topk(spark, sf_dir):
     """Explode/UDTF-direction analogue (§2.11): word histogram top 20."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).where(F.length("word") > 0)
@@ -551,7 +599,7 @@ FROM documents
 
 def q23_exact_dup_keys(spark, sf_dir):
     """Exact dedup (hash-groupBy): md5 content keys + group sizes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return (
         docs.select(F.md5(dd.normalize(F.col("text"))).alias("dup_key"))
         .groupBy("dup_key")
@@ -698,6 +746,10 @@ def q27_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = corpus.where(F.col("vec_id") < 5)
+    # spread the corpus side only: the per-row HOF cosine against the
+    # broadcast queries is the cost, and a 1-row-group embeddings file
+    # otherwise runs it on one core
+    corpus = _spread(corpus, spark, sf_dir, "embeddings")
     return sim.cosine_topk(corpus, queries, k=3)
 
 
@@ -1033,17 +1085,25 @@ SELECT cls, n_regions FROM (
 def q39_training_selection(spark, sf_dir):
     """Composite training-set selection — the end-to-end shape of an
     LLM-data pipeline: quality gate + language filter + exact-dedup
-    canonicalization (keep the min doc_id of each duplicate group)."""
-    docs = _t(spark, sf_dir, "documents")
+    canonicalization (keep the min doc_id of each duplicate group).
+
+    Round 6 (guide §2.4): keep_id comes from a window min over dup_key
+    instead of the old groupBy + self-join, whose probe side re-ran the
+    whole scored projection — ONE pass over text (md5 + quality + lang
+    per doc once, was twice) and ONE exchange (hash by dup_key) where
+    the join plan had an aggregate exchange plus a join exchange.
+    Identical output: min(doc_id) over the dup_key partition is exactly
+    groupBy(dup_key).min(doc_id) attached back to every row."""
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.md5(dd.normalize(F.col("text"))).alias("dup_key"),
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
         tx.lang_id(F.col("text")).alias("lang"),
     )
-    canon = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("keep_id"))
+    keep = F.min("doc_id").over(Window.partitionBy("dup_key"))
     return (
-        keyed.join(canon, "dup_key")
+        keyed.withColumn("keep_id", keep)
         .where(F.col("doc_id") == F.col("keep_id"))
         .where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
         .select("doc_id", "quality")
@@ -2243,7 +2303,7 @@ def q60_gopher_quality(spark, sf_dir):
     no shuffle: the 100-TB posture is a map-only scan."""
     from .text.analysis import gopher_quality
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return gopher_quality(docs.select("doc_id", "text")).select(
         "doc_id",
         "word_count",
@@ -2559,7 +2619,7 @@ def q65_c4_line_filter(spark, sf_dir):
     it."""
     from .text.c4 import c4_filter, synth_c4_pages
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return c4_filter(synth_c4_pages(docs)).select(
         "doc_id", "n_lines", "kept_lines", "page_kept", "clean_md5"
     )
@@ -2695,7 +2755,7 @@ def q67_bm25_topk(spark, sf_dir):
     constants broadcast, TakeOrderedAndProject for the cut."""
     from .text.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return bm25_topk(
         docs.select("doc_id", "text"), BM25_QUERY_TERMS, k=20
     )
@@ -3306,7 +3366,9 @@ def q76_dsir_selection(spark, sf_dir):
     (doc_id, int) agg, TakeOrderedAndProject."""
     from .text.mixing import dsir_select
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    ).select("doc_id", "text")
     return dsir_select(docs, top_k=DSIR_TOPK)
 
 
@@ -3372,7 +3434,9 @@ def q77_pii_scrub(spark, sf_dir):
     Map-only, zero-exchange, whole-stage-codegen regex scan."""
     from .text.pii import pii_scrub, synth_pii_pages
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    ).select("doc_id", "text")
     return pii_scrub(synth_pii_pages(docs))
 
 

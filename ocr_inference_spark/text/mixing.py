@@ -166,6 +166,15 @@ def dsir_weights(
             F.expr(f"transform(concat(w_, {bigrams}), {bucket_of})")
         ).alias("b"),
     )
+    # Materialize the feature stream ONCE (round 6, guide §1.2/§5): it
+    # feeds both the bucket-count model AND the score-back join, and
+    # without a lineage cut each consumer re-runs the tokenize + per-
+    # feature md5 pass — the single most expensive map work in the
+    # query (measured 13.2s -> ~7s at sf1.0). The checkpointed rows are
+    # only (doc_id, long); at corpus scale this is the same "write the
+    # fingerprints once" discipline as guide §8 step 1 (a persisted
+    # intermediate table in production; executor-local blocks here).
+    feats = feats.localCheckpoint(eager=True)
     counts = feats.groupBy("b").agg(
         F.count("*").alias("q_cnt"),
         F.sum(
