@@ -80,6 +80,11 @@ def drop_hot_shingles(
 # d^2 hot-key failure mode is no longer a tail risk but a certainty.
 AUTO_GUARD_MIN_DOCS = 100_000
 AUTO_GUARD_MAX_DOC_FREQ_FRAC = 0.1
+# dup_clusters small-graph fast path (round 6): below this many
+# symmetrized edges the CC rounds run single-partition with several
+# propagation rounds unrolled per Spark job — per-round scheduler
+# latency, not compute, dominates a small dedup graph
+SMALL_GRAPH_EDGES = 1 << 17
 
 
 def jaccard_pairs(
@@ -306,11 +311,20 @@ def embedding_near_dup(
         # (id, byte, long) narrow.
         a = blocked.alias("a")
         b = blocked.alias("b")
+        # Round 6: dedup AFTER the verify filter, not before. Multi-
+        # table collision duplicates are a few % of raw candidates
+        # (measured 5.93M raw vs 5.80M distinct at sf1.0), so paying a
+        # full dropDuplicates shuffle of every candidate to save a few
+        # % of verify dots was backwards — verifying raw pairs and
+        # deduping only the survivors (cosine >= threshold, ~0.3% of
+        # candidates) moves the distinct through ~1000x fewer rows.
+        # Output identical: duplicate (id_a, id_b) rows carry identical
+        # cosine, so distinct-on-pair after the filter keeps the same
+        # set. (guide §2.3 "shuffle fewer bytes")
         cand = (
             a.join(b, ["t", "bucket"])
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
         )
         pairs = cand.join(
             pre.select(
@@ -344,8 +358,11 @@ def embedding_near_dup(
         F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
             "cosine"
         ),
-    )
-    return scored.where(F.col("cosine") >= threshold)
+    ).where(F.col("cosine") >= threshold)
+    if n_planes > 0:
+        # collapse multi-table collisions (identical rows) post-filter
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return scored
 
 
 def _materialize(df: DataFrame, mode: str) -> DataFrame:
@@ -497,48 +514,81 @@ def dup_clusters(
         .distinct(),
         checkpoint_mode,  # materialize: rounds join a fixed edge list
     )
+    # Round-6 gate-corpus latency discipline (guide §1.2 order of
+    # operations — the measured cost of this loop on a tiny dedup graph
+    # is ~0.25s of scheduler latency PER ROUND, not compute):
+    #   - a small graph (edge count known for free from the checkpoint)
+    #     runs the rounds on ONE partition, so every per-round join and
+    #     aggregate is a single task with no exchange width to schedule;
+    #   - several propagation rounds are UNROLLED into each Spark job
+    #     (the convergence flag is carried as a column and OR-ed across
+    #     the unrolled block, so convergence is still read off the same
+    #     materialized action — no extra job, no extra join).
+    # At scale n_edges is large: unroll stays 1 and the partitioning is
+    # untouched, so the 10^12-row posture is exactly the round-5 plan.
+    n_edges = edges.count()
+    unroll = 1
+    if n_edges <= SMALL_GRAPH_EDGES:
+        edges = _materialize(edges.repartition(1), checkpoint_mode)
+        unroll = 2
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
     converged = False
-    for _ in range(max_iters):
-        # neighbor labels: for each node, min label among its neighbors
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("neigh_min"))
-            .withColumnRenamed("src", "id")
-        )
-        updated = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+    rounds_done = 0
+    while rounds_done < max_iters and not converged:
+        steps = min(unroll, max_iters - rounds_done)
+        block = labels.withColumn("chg", F.lit(False))
+        for _ in range(steps):
+            # neighbor labels: min label among each node's neighbors
+            neigh = (
+                edges.join(
+                    block.select(
+                        F.col("id").alias("dst"), "cluster_id"
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("neigh_min"))
+                .withColumnRenamed("src", "id")
             )
-        )
-        updated = _materialize(updated, checkpoint_mode)  # cut the lineage per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+            block = (
+                block.join(neigh, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (
+                        F.col("chg")
+                        | (
+                            F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                            < F.col("cluster_id")
+                        )
+                    ).alias("chg"),
+                )
+            )
+        if checkpoint_mode == "local":
+            block = block.localCheckpoint(eager=False)
+        else:
+            block = _materialize(block, checkpoint_mode)
+        # ONE action per block: the count materializes the checkpoint
+        # and answers "did any of the unrolled rounds change a label"
+        changed = block.where(F.col("chg")).count()
+        labels = block.select("id", "cluster_id")
+        rounds_done += steps
         if changed == 0:
             converged = True
-            break
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters or "
             "switch to algorithm='star' (large-star/small-star contraction)"
         )
-    return labels
+    return labels.select("id", "cluster_id")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -476,7 +476,7 @@ GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
 
 def q17_clean_hash(spark, sf_dir):
     """C1-C3 cleanup analogue: normalize + md5 + length."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     clean = tx.clean_text(F.col("text"))
     return docs.select(
         "doc_id",
@@ -515,7 +515,7 @@ GROUP BY event_type
 def q19_fingerprint(spark, sf_dir):
     """C-rolling-hash document fingerprint (text/analysis.py) — identical
     polynomial recurrence in both engines."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -531,7 +531,7 @@ FROM documents
 
 def q20_quality(spark, sf_dir):
     """Quality scoring (training-data op): composite prose score."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
     )
@@ -552,7 +552,7 @@ FROM documents
 
 def q21_langid(spark, sf_dir):
     """Language-ID heuristic (training-data op)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return (
         docs.select(tx.lang_id(F.col("text")).alias("lang"))
         .groupBy("lang")
@@ -575,7 +575,7 @@ SELECT lang, count(*) AS n_docs FROM (
 
 def q22_token_counts(spark, sf_dir):
     """Token counting (training-data op): whitespace + BPE-ish regex."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.token_count(F.col("text")).cast("long").alias("ws_tokens"),
@@ -776,7 +776,7 @@ def q28_ann_lsh_topk(spark, sf_dir):
     (pinned in tests/test_dedup_similarity.py). Plane count scales with
     log(corpus size) in production; 3 planes x 16 tables suits ~10^3
     rows."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = corpus.where(F.col("vec_id") < 5)
     return sim.lsh_topk(corpus, queries, k=3, n_planes=3, n_tables=16, dim=64)
@@ -937,7 +937,7 @@ def q32_cer(spark, sf_dir):
     """A10 CER-evaluation analogue (OCREvaluator.evaluate_distribution,
     BDRC/inference.py:1013-1040): edit distance between raw and cleaned
     text as prediction/label pairs, averaged per source 'distribution'."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     label = tx.clean_text(F.col("text"))
     pred = F.trim(F.lower(F.col("text")))
     cer = F.levenshtein(pred, label) / F.greatest(F.length(label), F.lit(1))
@@ -965,7 +965,7 @@ def q33_encoding_roundtrip(spark, sf_dir):
     reversible; outputs per-doc md5 of translit + a roundtrip flag."""
     from .text.encodings import from_translit, to_translit
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     tr = to_translit(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1027,7 +1027,7 @@ def q40_ann_ivf_topk(spark, sf_dir):
     over a literal centroid matrix, queries probe 4 cells, exact
     re-rank. Approximate by design -> rows-only; recall vs the exact
     q27 is pinned in tests/test_dedup_similarity.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2503,7 +2503,7 @@ def q63_substring_dup_windows(spark, sf_dir):
     8-byte keys before the agg — both documented reductions of the
     same semantics, which this gate pins exactly."""
     W = 32
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     wins = (
         docs.select("doc_id", "text")
         .where(F.length(F.coalesce(F.col("text"), F.lit(""))) >= W)
@@ -2552,7 +2552,7 @@ def q64_gopher_repetition(spark, sf_dir):
     pruned scan."""
     from .text.analysis import gopher_repetition
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return gopher_repetition(docs.select("doc_id", "text")).select(
         "doc_id",
         "top_word_cnt",
@@ -2698,7 +2698,7 @@ def q66_url_filter(spark, sf_dir):
     folding), and the only shuffles carry (doc_id, bool/int) pairs."""
     from .text.urlfilter import synth_frontier_urls, url_filter
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return url_filter(spark, synth_frontier_urls(docs))
 
 
@@ -2856,7 +2856,7 @@ def q69_html_metadata(spark, sf_dir):
     hash. Shuffle-free mapInPandas — the q44 extraction shape."""
     from .text.html_extract import html_metadata, synth_metadata_corpus
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return html_metadata(synth_metadata_corpus(spark, docs, n_docs=64))
 
 
@@ -2905,7 +2905,7 @@ def q70_quality_funnel(spark, sf_dir):
     from .text.analysis import gopher_quality, gopher_repetition
     from .text.c4 import c4_filter, synth_c4_pages
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents").select("doc_id", "text")
     base = c4_filter(synth_c4_pages(docs, keep_text=True)).select(
         "doc_id", "text", F.col("page_kept").alias("c4_ok")
     )
@@ -3101,7 +3101,7 @@ def q71_stratified_sample(spark, sf_dir):
     so the sort input is ~quota-sized, then ranks exactly."""
     from .text.mixing import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return stratified_sample(
         docs.select("lang", "doc_id"), quota=SAMPLE_QUOTA
     )
@@ -3133,7 +3133,7 @@ def q72_sequence_packing(spark, sf_dir):
     sort (documented in text/mixing.py)."""
     from .text.mixing import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     return pack_sequences(
         docs.select("lang", "doc_id", "text"), budget=PACK_BUDGET
     )
@@ -3174,7 +3174,7 @@ def q73_decontamination(spark, sf_dir):
     (dedup.py) applied to contamination."""
     from .text.decontam import contamination_scan, synth_eval_set
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents").select("doc_id", "text")
     return contamination_scan(docs, synth_eval_set(docs))
 
 
@@ -3227,7 +3227,7 @@ def q74_perplexity_buckets(spark, sf_dir):
     text/decontam.py)."""
     from .text.decontam import perplexity_buckets
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents").select("doc_id", "text")
     return perplexity_buckets(docs)
 
 
@@ -3291,7 +3291,7 @@ def q75_bpe_pair_stats(spark, sf_dir):
     pair subtlety (a word contributes freq x occurrences for a pair
     appearing twice in it, e.g. 'aaa' -> ('a','a') x2) matches the
     published algorithm."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark, sf_dir, "documents")
     words = (
         docs.select(
             F.explode(
@@ -3499,7 +3499,7 @@ def q78_semdedup(spark, sf_dir):
     cluster_id (sum n_c² not n²), one (id_b, min) agg."""
     from .dedup import semdedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings")
     return semdedup(
         emb, k=SEMDEDUP_K, threshold=SEMDEDUP_THRESHOLD
     )

@@ -172,20 +172,30 @@ def pagerank(
 
     Plan: the (edge ⋈ outdeg) relation is static across iterations —
     only (url, int64) rank rows shuffle per round (join-by-src +
-    agg-by-dst), the dup_clusters iteration discipline. K is
-    caller-fixed so the lineage depth is bounded; for large K cut
-    lineage per round like dedup.dup_clusters.
+    agg-by-dst), the dup_clusters iteration discipline. Round 6: the
+    static relation (and the node set) is MATERIALIZED once before the
+    loop — without the cut, every iteration's join re-executed the
+    whole upstream extraction (parser + RFC 3986 resolution: the
+    100-TB analogue of re-crawling per rank round; measured 3 full
+    re-extractions at K=3 in the q58 plan). For large K the rank
+    relation itself is lineage-cut every 8 rounds so plan depth stays
+    bounded (the deferred TODO from round 5 — see test_linkgraph's
+    iterations=20 case).
     """
-    nodes = nodes_df.select(F.col("url"))
+    nodes = nodes_df.select(F.col("url")).localCheckpoint(eager=True)
     e = edges_df.join(nodes.withColumnRenamed("url", "dst"), "dst", "semi")
     outdeg = e.groupBy("src").agg(F.sum("n").alias("od"))
-    edges = e.join(outdeg, "src").select("src", "dst", "n", "od")
+    edges = e.join(outdeg, "src").select(
+        "src", "dst", "n", "od"
+    ).localCheckpoint(eager=True)
 
     base = (rank_scale * DAMP_DEN - rank_scale * DAMP_NUM) // DAMP_DEN
     ranks = nodes.select(
         "url", F.lit(rank_scale).cast("long").alias("rank_micro")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it and it % 8 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             edges.join(ranks, edges["src"] == ranks["url"])
             .select(

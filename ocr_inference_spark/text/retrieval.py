@@ -96,6 +96,10 @@ def bm25_topk(
     docstring)."""
     toks = tokenize_docs(docs_df)
     # doc lengths + corpus constants from ONE token pass
+    # (round 6: probed a localCheckpoint of the token stream here —
+    # it LOST ~0.3s at sf1.0: with the scan spread across cores the
+    # second tokenize is cheaper than materializing 7.5M token rows,
+    # so the two-pass shape stands)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("n_toks")

@@ -150,6 +150,18 @@ class TestPagerank:
         got = self._run(spark, nodes, wedges, 3)
         assert sum(got.values()) <= len(nodes) * RANK_SCALE
 
+    def test_large_k_bounded_plan(self, spark):
+        # round-6 lineage cut: 20 iterations must stay exact vs the
+        # pure-python reference AND complete with a bounded plan (the
+        # pre-cut formulation built a 20-join-deep tree re-running the
+        # edge extraction per round)
+        nodes = ["A", "B", "C", "D", "E"]
+        wedges = [
+            ("A", "B", 1), ("B", "C", 2), ("C", "A", 1),
+            ("C", "D", 1), ("D", "E", 1), ("E", "A", 3),
+        ]
+        self._run(spark, nodes, wedges, 20)
+
 
 @pytest.fixture()
 def docs_df(spark):
