@@ -637,8 +637,15 @@ WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {threshold}
 
 
 def q24_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram-Jaccard near-dup pairs (5-char shingles, tau=0.25)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    """Exact n-gram-Jaccard near-dup pairs (5-char shingles, tau=0.25).
+
+    The doc_id<60 slice is gate-bounded BY CONSTRUCTION (constant rows
+    at any corpus size), so the whole shingle pipeline runs on one
+    partition (round 6): a single-partition child satisfies every
+    required distribution, which strips the 32-task exchange latency
+    from each of the pipeline's stages — measured ~2x on the fixed
+    slice. Not applicable to corpus-shaped inputs (those use _spread)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).coalesce(1)
     return dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.25)
 
 
@@ -649,7 +656,7 @@ def q25_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs with exact verify — oracle is the exact
     all-pairs Jaccard (r=1, b=32 banding: miss probability (1-s)^32,
     ~1e-4 at s=0.25, deterministic for fixed data+seeds)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).coalesce(1)
     return dd.minhash_lsh_pairs(
         docs, "doc_id", "text", k=5, n_perm=32, bands=32, threshold=0.25
     )
@@ -664,7 +671,7 @@ def q37_dup_clusters(spark, sf_dir):
     id — the keep-one-per-cluster step of a dedup pipeline. Spark side
     is iterative min-label propagation (one equi-join + aggregate per
     round); oracle is a recursive-CTE transitive closure."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).coalesce(1)
     pairs = dd.jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.25)
     return dd.dup_clusters(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
@@ -698,7 +705,7 @@ def q26_simhash_pairs(spark, sf_dir):
     over an oracle-bounded 120 docs (like q24's Jaccard baseline); the
     quadrant-blocked xxhash64 simhash_pairs remains the scale path with
     its pigeonhole guarantee at max_hamming <= 3."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120).coalesce(1)
     return dd.simhash_md5_pairs_exact(docs, "doc_id", "text", max_hamming=10)
 
 
