@@ -248,6 +248,7 @@ def embedding_near_dup(
     n_planes: int = 0,
     dim: int = 64,
     n_tables: int = 1,
+    assume_spread: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
     cosine >= threshold.
@@ -290,10 +291,15 @@ def embedding_near_dup(
         #      cost). An explicit repartition by the join key before the
         #      checkpoint pins the width AND lets BOTH self-join sides
         #      reuse the same hash partitioning: zero further exchange.
+        # assume_spread: the caller already balanced the scan across the
+        # cluster (e.g. queries._spread from parquet footer metadata —
+        # ~2ms); the generic fallback asks the planner, whose first
+        # .rdd conversion on a fresh DataFrame costs ~100ms+ of plan
+        # translation that a per-bench-sample construction repays.
         spark = df.sparkSession
         par = spark.sparkContext.defaultParallelism
         pre = base
-        if pre.rdd.getNumPartitions() < par:
+        if not assume_spread and pre.rdd.getNumPartitions() < par:
             pre = pre.repartition(par)
         blocked = (
             pre.select(

@@ -1019,11 +1019,12 @@ def q36_embedding_near_dup_lsh(spark, sf_dir):
     metadata (catalog stats in a real deployment) — no extra scan."""
     import math
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings")
     n = _parquet_row_count(sf_dir, "embeddings")
     n_planes = max(3, int(math.ceil(math.log2(max(n, 64) / 64))))
     return dd.embedding_near_dup(
-        emb, "vec_id", "embedding", threshold=0.4, n_planes=n_planes, n_tables=12
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=n_planes, n_tables=12,
+        assume_spread=True,
     )
 
 
