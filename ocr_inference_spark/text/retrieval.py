@@ -94,51 +94,69 @@ def bm25_topk(
     BM25: (doc_id, score, n_hits), score desc / doc_id asc.  score =
     sum over matched terms of idf_micro * tfc_milli (see module
     docstring)."""
+    # Round 6 single-pass shape (guide §1.2/§2.3): the old plan
+    # tokenized the corpus TWICE (doc lengths, then query-term hits)
+    # and ran three shuffles plus two joins. For a bag-of-words query
+    # the per-(term, doc) tfs pivot into one column per query term, so
+    # ONE tokenize pass and ONE per-doc aggregate produce (dl, tf_0..)
+    # directly; df/idf collapse to a one-row broadcast relation and
+    # the score is a map-side integer expression. Semantics unchanged:
+    # tf per (term, doc), Lucene idf from df, x1000 exact-rational tf
+    # saturation, per-term int contributions, docs with zero matched
+    # terms excluded — identical output under the value-hash gate
+    # (parity-verified). A pivot column per term suits bag-of-words
+    # queries (a handful of terms); a very wide query should rank
+    # against the build_postings relation instead.
+    terms = sorted(query_terms)
     toks = tokenize_docs(docs_df)
-    # doc lengths + corpus constants from ONE token pass
-    # (round 6: probed a localCheckpoint of the token stream here —
-    # it LOST ~0.3s at sf1.0: with the scan spread across cores the
-    # second tokenize is cheaper than materializing 7.5M token rows,
-    # so the two-pass shape stands)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("n_toks")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    qlist = ", ".join(f"'{t}'" for t in sorted(query_terms))
-    hits = (
-        toks.where(F.expr(f"term IN ({qlist})"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-    idf = (
-        hits.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf_micro",
+    consts = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("n_toks"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).select(
+        "n_docs",
+        "n_toks",
+        *[
             F.expr(
                 f"cast(floor({IDF_SCALE} * ln(1.0 +"
-                " (2.0 * n_docs - 2 * df + 1) / (2 * df + 1)))"
+                f" (2.0 * n_docs - 2 * df_{i} + 1) / (2 * df_{i} + 1)))"
                 " as bigint)"
-            ),
-        )
-        .select("term", "idf_micro")
+            ).alias(f"idf_{i}")
+            for i in range(len(terms))
+        ],
     )
-    scored = (
-        hits.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            F.expr(
-                f"idf_micro * (({TFC_SCALE} * 22 * tf * n_toks) div"
-                " (10 * n_toks * tf + 3 * n_toks + 9 * dl * n_docs))"
+    contrib = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.col(f"idf_{i}")
+            * F.expr(
+                f"({TFC_SCALE} * 22 * tf_{i} * n_toks) div"
+                f" (10 * n_toks * tf_{i} + 3 * n_toks + 9 * dl * n_docs)"
             ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(len(terms))
+    ]
+    n_hits = None
+    for i in range(len(terms)):
+        hit = F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)
+        n_hits = hit if n_hits is None else n_hits + hit
+    scored = (
+        per_doc.crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            sum(contrib[1:], contrib[0]).alias("score"),
+            n_hits.cast("long").alias("n_hits"),
         )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("contrib").alias("score"),
-            F.count("*").alias("n_hits"),
-        )
+        .where(F.col("n_hits") > 0)
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
