@@ -85,6 +85,12 @@ AUTO_GUARD_MAX_DOC_FREQ_FRAC = 0.1
 # propagation rounds unrolled per Spark job — per-round scheduler
 # latency, not compute, dominates a small dedup graph
 SMALL_GRAPH_EDGES = 1 << 17
+# embedding_near_dup vector re-attach: force-broadcast the (id, vec,
+# norm) relation below this row count (~2M x 64 doubles ≈ 1 GB built —
+# comfortable on multi-GB executors, far past the 10MB auto threshold
+# whose silent SMJ fallback would re-shuffle every candidate with its
+# vectors attached); above it, shuffle join is the honest plan
+BROADCAST_VECTORS_MAX_ROWS = 2_000_000
 
 
 def jaccard_pairs(
@@ -249,6 +255,7 @@ def embedding_near_dup(
     dim: int = 64,
     n_tables: int = 1,
     assume_spread: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
     cosine >= threshold.
@@ -332,21 +339,32 @@ def embedding_near_dup(
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         )
-        pairs = cand.join(
-            pre.select(
-                F.col("id").alias("id_a"),
-                F.col("v").alias("va"),
-                F.col("nrm").alias("na"),
-            ),
-            "id_a",
-        ).join(
-            pre.select(
-                F.col("id").alias("id_b"),
-                F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "id_b",
+        # Vector re-attach: the candidate stream must NOT be shuffled
+        # by id — that re-moves |candidates| x vector-width bytes, the
+        # exact failure mode the id-only blocking avoids (guide §8:
+        # audit how the proxy's decisions are re-attached). When the
+        # caller supplies the corpus row count (parquet footer /
+        # catalog stats) and the vector relation fits comfortably in
+        # memory, force a broadcast: the auto-threshold (10 MB
+        # estimated) silently flips these joins to sort-merge once the
+        # embeddings file outgrows it, shuffling the fat intermediate.
+        # Above the cutoff (or with no count supplied and no planner
+        # pick of broadcast) the shuffle join stands — at 10^12 rows
+        # that IS the right plan.
+        side_a = pre.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
         )
+        side_b = pre.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        if n_rows is not None and n_rows <= BROADCAST_VECTORS_MAX_ROWS:
+            side_a = F.broadcast(side_a)
+            side_b = F.broadcast(side_b)
+        pairs = cand.join(side_a, "id_a").join(side_b, "id_b")
     else:
         a = base.alias("a")
         b = base.alias("b")
