@@ -1,8 +1,10 @@
 """Isolate q36 sub-stage costs (guide §1.4 noop-sink discipline).
 
-Times, at $SPARK_GRAFT_SF_DIR: (a) the blocked (id, t, bucket) bucket
-computation alone, (b) candidate generation + dropDuplicates, (c) the
-full query (attach joins + exact verify). Differences localize the cost.
+HISTORICAL: stages (a)-(d) replicate the ROUND-START formulation of
+embedding_near_dup (unspread scan, dedup-before-verify, planner-chosen
+joins) — this is the probe that localized the round-6 q36 findings
+(single-task bucket projection, AQE-coalesced pair explosion). The
+current implementation differs; stage (e) always runs the live query.
 """
 
 from __future__ import annotations
