@@ -267,7 +267,7 @@ def embedding_near_dup(
     (hash-join-plannable — never a nested-loop pair scan), deduped, then
     exact-cosine verified. Multi-table blocking recovers near pairs a
     single table splits across a plane."""
-    from .similarity import _dot, _norm, table_buckets
+    from .similarity import _dot, _norm
 
     base = (
         df.select(
@@ -308,13 +308,14 @@ def embedding_near_dup(
         pre = base
         if not assume_spread and pre.rdd.getNumPartitions() < par:
             pre = pre.repartition(par)
+        # Bucket projection via the batched numpy kernel (guide §4.2) —
+        # bit-identical to posexplode(table_buckets(...)), see
+        # similarity.table_bucket_rows; measured 1.00s -> 0.60s for the
+        # 200k x 108-plane projection at sf1.0.
+        from .similarity import table_bucket_rows
+
         blocked = (
-            pre.select(
-                "id",
-                F.posexplode(
-                    table_buckets(F.col("v"), n_tables, n_planes, dim)
-                ).alias("t", "bucket"),
-            )
+            table_bucket_rows(pre, n_tables, n_planes, dim)
             .repartition(par * 4, "t", "bucket")
             .localCheckpoint(eager=True)
         )
@@ -554,6 +555,10 @@ def dup_clusters(
     unroll = 1
     if n_edges <= SMALL_GRAPH_EDGES:
         edges = _materialize(edges.repartition(1), checkpoint_mode)
+        # unroll=2 is the measured optimum (round-6 A/B, interleaved in
+        # one session at sf1.0: 1.80s @2, 2.63s @4, 10.5s @8 — deeper
+        # blocks pay more in plan optimization/codegen than they save
+        # in per-job scheduler latency)
         unroll = 2
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -136,6 +136,21 @@ def q02_top_orders(spark, sf_dir):
     """T1 top-k + J1 equi-join: top 10 orders by lineitem revenue."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    # Join-strategy guard (guide §3.1): the orders side of this join is
+    # pruned to (o_orderkey, o_orderdate) — ~16 B/row — but the
+    # planner's byte estimate uses the whole-file size, so past ~10 MB
+    # of parquet it silently picks sort-merge and exchanges+sorts BOTH
+    # sides (the rev side is already hash-partitioned on the join key by
+    # its own aggregate; the orders exchange is pure added cost). Below
+    # a footer-metadata row-count cutoff (~5M rows ≈ 80 MB built, same
+    # discipline as dedup.BROADCAST_VECTORS_MAX_ROWS) broadcast it; at
+    # real scale the count exceeds the cutoff and the shuffle join
+    # stands. Output is join-strategy-invariant (same inner equi-join).
+    try:
+        if _parquet_row_count(sf_dir, "orders") <= 5_000_000:
+            orders = F.broadcast(orders)
+    except OSError:
+        pass
     rev = (
         li.groupBy("l_orderkey")
         .agg(

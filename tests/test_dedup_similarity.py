@@ -296,3 +296,26 @@ def test_dup_clusters_star_keeps_self_pair_nodes(spark):
         for r in dup_clusters(pairs, algorithm="star").collect()
     }
     assert prop == star == {1: 1, 2: 1, 7: 7}
+
+
+def test_table_bucket_rows_bit_identical(spark):
+    """The numpy bucket kernel (mapInPandas) must reproduce the Catalyst
+    higher-order-function form EXACTLY — planes are ±1.0 so every
+    product is an exact sign flip and the left-fold add order matches;
+    any reassociation would show up here as a sign flip on a near-zero
+    plane dot."""
+    from pyspark.sql import functions as F
+
+    from ocr_inference_spark.similarity import table_bucket_rows, table_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cat = base.select(
+        "id", F.posexplode(table_buckets(F.col("v"), 12, 9, 64)).alias("t", "bucket")
+    )
+    np_rows = table_bucket_rows(base, 12, 9, 64)
+    assert cat.exceptAll(np_rows).count() == 0
+    assert np_rows.exceptAll(cat).count() == 0
